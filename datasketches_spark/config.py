@@ -1,0 +1,77 @@
+"""Frozen pipeline configuration.
+
+Parity-critical constants mirror the reference library's defaults
+(see /root/reference/ThetaCommon/ThetaUtil.cs:53-78):
+
+- ``DEFAULT_SEED = 9001``  (ThetaUtil.cs:78) — every hash used to build
+  signatures must use this seed or sketches cannot be merged.
+- ``DEFAULT_K = 4096``     (ThetaUtil.cs:58, DEFAULT_NOMINAL_ENTRIES) —
+  nominal entries of the KMV/theta sketch; RSE = ±1.56% @68% conf.
+- 5-gram token shingles (north-star config).
+
+The config object is a plain frozen dataclass: it is pickled into every
+pandas UDF closure (cheap — a few ints), which is the Spark-idiomatic way
+to broadcast a tiny immutable config.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+MAX_THETA_LONG = (1 << 63) - 1  # hash domain is [1, 2^63-1]; 0 and 2^63-1 reserved
+DEFAULT_SEED = 9001
+DEFAULT_K = 4096
+MIN_LG_NOM_LONGS = 4  # ThetaUtil.cs:35
+MAX_LG_NOM_LONGS = 26  # ThetaUtil.cs:40
+
+
+def _check_k(k: int) -> int:
+    if not (isinstance(k, int) and k >= 2 and (k & (k - 1)) == 0):
+        raise ValueError(f"k must be a power of 2, got {k}")
+    lg = int(math.log2(k))
+    if not (MIN_LG_NOM_LONGS <= lg <= MAX_LG_NOM_LONGS):
+        raise ValueError(f"lg(k) must be in [{MIN_LG_NOM_LONGS},{MAX_LG_NOM_LONGS}], got {lg}")
+    return k
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All tunables of the near-duplicate pipeline, validated at init.
+
+    MinHash banding: ``num_perm = bands * rows`` permutations; a pair whose
+    true Jaccard is j collides in >=1 band with prob 1-(1-j^rows)^bands.
+    Defaults (bands=16, rows=8 -> 128 perms) put the S-curve threshold at
+    ~(1/16)^(1/8) ~= 0.71, matching a 0.8 Jaccard target with high recall.
+    """
+
+    seed: int = DEFAULT_SEED
+    k: int = DEFAULT_K  # KMV sketch nominal entries
+    ngram: int = 5  # token shingle width (north-star: 5-gram)
+    bands: int = 16
+    rows: int = 8
+    jaccard_threshold: float = 0.8
+    bucket_cap: int = 256  # LSH buckets larger than this are sub-sampled + logged
+    salt_partitions: int = 0  # 0 = auto from bucket histogram
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        _check_k(self.k)
+        if self.ngram < 1:
+            raise ValueError("ngram must be >= 1")
+        if self.bands < 1 or self.rows < 1:
+            raise ValueError("bands/rows must be >= 1")
+        if not (0.0 < self.jaccard_threshold <= 1.0):
+            raise ValueError("jaccard_threshold in (0, 1]")
+
+    @property
+    def num_perm(self) -> int:
+        return self.bands * self.rows
+
+    @property
+    def lsh_threshold(self) -> float:
+        """Approximate Jaccard at which collision prob = 1/2."""
+        return (1.0 / self.bands) ** (1.0 / self.rows)
+
+
+DEFAULT_CONFIG = DedupConfig()

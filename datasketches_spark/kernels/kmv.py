@@ -1,0 +1,253 @@
+"""KMV / Theta sketch kernel — the reference's QuickSelect sketch and set
+operations re-expressed as vectorized NumPy over sorted uint64 arrays.
+
+A sketch is the tuple ``(theta: int, entries: sorted uint64 array, empty:
+bool)`` — semantically identical to the reference's CompactSketch
+(/root/reference/Theta/HeapCompactSketch.cs:31-62): it retains exactly the
+set of distinct hash values h with 0 < h < theta, where the hash domain is
+[1, 2^63-1] (/root/reference/ThetaCommon/HashOperations.cs:326-330).
+
+The reference builds this incrementally with an open-addressing table and
+quickselect pull-backs (/root/reference/Theta/HeapQuickSelectSketch.cs:
+239-321); a vectorized batch build computes the same final state directly:
+``theta = (k+1)-th smallest distinct hash`` when more than k survive
+(pivot = k+1, HeapQuickSelectSketch.cs:312), else theta stays at
+p * 2^63 (long.MaxValue when p >= 1, HeapQuickSelectSketch.cs:73).
+
+Set-operation semantics (bit-for-bit rules):
+- Union:        theta = min(thetas), pull back to k; empty = AND
+  (/root/reference/Theta/UnionImpl.cs:234-281, result :155-184)
+- Intersection: theta = min(thetas); empty = OR
+  (/root/reference/Theta/IntersectionImpl.cs:145-200)
+- AnotB:        theta = min(thetas); keep A-hashes < theta absent from B;
+  empty = srcA.empty, or (count==0 and theta==MAX)
+  (/root/reference/Theta/AnotBImpl.cs:57-146)
+- Estimate:     count * (2^63-1 as double / theta)
+  (/root/reference/Theta/Sketch.cs:657-660)
+
+Serialization is the SerVer-3 ordered-compact little-endian image
+(/root/reference/Theta/PreambleUtil.cs:150-186, CompactOperations.cs:31-89)
+including the canonical 8-byte empty image and 16-byte single-item form.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from datasketches_spark.config import DEFAULT_K, DEFAULT_SEED, MAX_THETA_LONG
+from datasketches_spark.kernels import bounds as _bounds
+from datasketches_spark.kernels.murmur3 import hash128_longs
+
+LONG_MAX_DOUBLE = float(MAX_THETA_LONG)  # (double)long.MaxValue
+
+# flag masks (PreambleUtil.cs:166-171)
+_READ_ONLY = 2
+_EMPTY = 4
+_COMPACT = 8
+_ORDERED = 16
+_SINGLEITEM = 32
+_FAMILY_COMPACT = 3
+_SER_VER = 3
+
+
+def compute_seed_hash(seed: int) -> int:
+    """16-bit seed hash (ThetaCommon/ThetaUtil.cs:108-119): low 16 bits of
+    murmur3(long[]{seed}, seed=0).h1; zero is rejected."""
+    h1, _ = hash128_longs(np.array([seed], dtype=np.uint64).view(np.uint64), 0)
+    sh = h1 & 0xFFFF
+    if sh == 0:
+        raise ValueError(f"seed {seed} produces a zero seed hash; choose another seed")
+    return sh
+
+
+@dataclass(frozen=True)
+class ThetaSketch:
+    theta: int  # thetaLong in [1, 2^63-1]
+    entries: np.ndarray  # sorted uint64, all in (0, theta)
+    empty: bool
+    seed: int = DEFAULT_SEED
+
+    @property
+    def count(self) -> int:
+        return int(self.entries.shape[0])
+
+    def estimate(self) -> float:
+        # Sketch.cs:657-660: curCount * (LONG_MAX_VALUE_AS_DOUBLE / thetaLong)
+        return self.count * (LONG_MAX_DOUBLE / self.theta)
+
+    def theta_fraction(self) -> float:
+        return self.theta / LONG_MAX_DOUBLE
+
+    def lower_bound(self, num_sdev: int = 2) -> float:
+        return _bounds.binomial_lower_bound(self.count, self.theta_fraction(), num_sdev, self.empty)
+
+    def upper_bound(self, num_sdev: int = 2) -> float:
+        return _bounds.binomial_upper_bound(self.count, self.theta_fraction(), num_sdev, self.empty)
+
+    def is_estimation_mode(self) -> bool:
+        return self.theta < MAX_THETA_LONG and not self.empty
+
+
+def empty_sketch(seed: int = DEFAULT_SEED) -> ThetaSketch:
+    return ThetaSketch(MAX_THETA_LONG, np.empty(0, dtype=np.uint64), True, seed)
+
+
+def _finalize(theta: int, entries: np.ndarray, empty: bool, k: int, seed: int) -> ThetaSketch:
+    """Trim to nominal k via the quickselect pull-back rule: when more than
+    k entries survive, theta becomes the (k+1)-th smallest and only values
+    strictly below it are retained (HeapQuickSelectSketch.cs:308-321)."""
+    if entries.shape[0] > k:
+        # entries sorted ascending -> (k+1)-th smallest is entries[k]
+        theta = int(entries[k])
+        entries = entries[:k]
+        # duplicates cannot occur (entries are distinct); all < theta by construction
+    return ThetaSketch(int(theta), entries, empty, seed)
+
+
+def build(hashes: np.ndarray, k: int = DEFAULT_K, seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """Build a trimmed sketch from theta-domain hashes (p = 1.0 path).
+
+    Equivalent to feeding every value through UpdateSketch.HashUpdate and
+    calling Rebuild(): distinct, reject the reserved values 0 and 2^63-1
+    (HashOperations.cs:326-330), keep the k smallest.
+    """
+    h = np.asarray(hashes, dtype=np.uint64)
+    h = h[(h > 0) & (h < np.uint64(MAX_THETA_LONG))]
+    if h.shape[0] == 0:
+        return empty_sketch(seed)
+    u = np.unique(h)  # sorted ascending
+    return _finalize(MAX_THETA_LONG, u, False, k, seed)
+
+
+def _check_merge(a: ThetaSketch, b: ThetaSketch) -> None:
+    if a.seed != b.seed:
+        raise ValueError(f"seed mismatch: {a.seed} != {b.seed} (merge forbidden, UnionImpl.cs:242)")
+
+
+def union(a: ThetaSketch, b: ThetaSketch, k: int = DEFAULT_K) -> ThetaSketch:
+    """Theta union: empty rule AND, theta rule min, pull back to k
+    (UnionImpl.cs:232-281, GetResult :155-184)."""
+    _check_merge(a, b)
+    theta = min(a.theta, b.theta)
+    t = np.uint64(theta)
+    merged = np.union1d(a.entries[a.entries < t], b.entries[b.entries < t])
+    return _finalize(theta, merged, a.empty and b.empty, k, a.seed)
+
+
+def union_many(sketches: list[ThetaSketch], k: int = DEFAULT_K, seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """n-way union in one vectorized pass (associativity of the theta rule
+    makes this equivalent to a left fold of pairwise unions)."""
+    if not sketches:
+        return empty_sketch(seed)
+    theta = min(s.theta for s in sketches)
+    t = np.uint64(theta)
+    parts = [s.entries[s.entries < t] for s in sketches]
+    merged = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+    empty = all(s.empty for s in sketches)
+    return _finalize(theta, merged, empty, k, sketches[0].seed)
+
+
+def intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """Theta intersection: empty rule OR, theta rule min
+    (IntersectionImpl.cs:145-200). No pull-back needed — the result count
+    never exceeds min of the input counts."""
+    _check_merge(a, b)
+    if a.empty or b.empty:
+        return empty_sketch(a.seed)
+    theta = min(a.theta, b.theta)
+    t = np.uint64(theta)
+    both = np.intersect1d(a.entries, b.entries, assume_unique=True)
+    both = both[both < t]
+    return ThetaSketch(theta, both, False, a.seed)
+
+
+def a_not_b(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """A \\ B (AnotBImpl.cs:57-146): keep A's hashes below min-theta that do
+    not occur in B; result is empty iff A was empty, or nothing survives at
+    theta == long.MaxValue (AnotBImpl.cs:90,140)."""
+    _check_merge(a, b)
+    if a.empty:
+        return empty_sketch(a.seed)
+    if b.empty:
+        return ThetaSketch(a.theta, a.entries.copy(), a.empty, a.seed)
+    theta = min(a.theta, b.theta)
+    t = np.uint64(theta)
+    kept = np.setdiff1d(a.entries[a.entries < t], b.entries, assume_unique=True)
+    empty = kept.shape[0] == 0 and theta == MAX_THETA_LONG
+    return ThetaSketch(theta, kept, empty, a.seed)
+
+
+def jaccard(a: ThetaSketch, b: ThetaSketch, k: int = DEFAULT_K, num_sdev: float = 2.0):
+    """(lb, estimate, ub) of Jaccard(A, B) from two sketches: J = |A∩B|/|A∪B|
+    estimated via the B-over-A ratio machinery with B = intersect(union, each)
+    (BoundsOnRatiosInThetaSketchedSets.cs:45-103 applied with A := A∪B)."""
+    u = union(a, b, k=k)
+    i = intersect(a, b)
+    theta = min(u.theta, i.theta)
+    t = np.uint64(theta)
+    count_u = int(np.count_nonzero(u.entries < t))
+    count_i = int(np.count_nonzero(i.entries < t))
+    if count_u == 0:
+        return (1.0, 1.0, 1.0) if (a.empty and b.empty) else (0.0, 0.0, 0.0)
+    est, lb, ub = _bounds.ratio_bounds(count_u, count_i, num_sdev)
+    return float(lb), float(est), float(ub)
+
+
+# ----------------------------------------------------------- serialization
+
+_EMPTY_IMAGE = bytes([1, 3, 3, 0, 0, 0x1E, 0, 0])  # EmptyCompactSketch.cs:37
+
+
+def serialize_compact(s: ThetaSketch) -> bytes:
+    """SerVer-3 ordered CompactSketch image (HeapCompactSketch.cs:152-175,
+    CompactOperations.cs:236-294)."""
+    seed_hash = compute_seed_hash(s.seed)
+    empty = s.empty or (s.count == 0 and s.theta == MAX_THETA_LONG)
+    if empty:
+        return _EMPTY_IMAGE
+    single = s.count == 1 and s.theta == MAX_THETA_LONG
+    if single:
+        flags = _READ_ONLY | _COMPACT | _ORDERED | _SINGLEITEM
+        return struct.pack("<BBBBBBH", 1, _SER_VER, _FAMILY_COMPACT, 0, 0, flags, seed_hash) + s.entries.tobytes()
+    flags = _READ_ONLY | _COMPACT | _ORDERED
+    if s.theta == MAX_THETA_LONG:  # exact mode: 2 preamble longs
+        pre = struct.pack("<BBBBBBHii", 2, _SER_VER, _FAMILY_COMPACT, 0, 0, flags, seed_hash, s.count, 0)
+    else:  # estimation mode: 3 preamble longs incl. thetaLong
+        pre = struct.pack("<BBBBBBHiiq", 3, _SER_VER, _FAMILY_COMPACT, 0, 0, flags, seed_hash, s.count, 0, s.theta)
+    return pre + np.sort(s.entries).tobytes()
+
+
+def deserialize_compact(data: bytes, seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """Heapify a SerVer-3 compact image (CompactSketch.cs:57-254), with the
+    reference's seed-hash validation."""
+    if len(data) < 8:
+        raise ValueError("corrupt sketch image: < 8 bytes")
+    pre_longs, ser_ver, family, _, _, flags, seed_hash = struct.unpack_from("<BBBBBBH", data, 0)
+    pre_longs &= 0x3F
+    if ser_ver != _SER_VER:
+        raise ValueError(f"unsupported serVer {ser_ver} (only SerVer 3 is interchange, SURVEY §1.3)")
+    if family != _FAMILY_COMPACT:
+        raise ValueError(f"not a compact sketch image: family {family}")
+    if flags & _EMPTY:
+        return empty_sketch(seed)
+    expect = compute_seed_hash(seed)
+    if seed_hash != expect:
+        raise ValueError(f"seed hash mismatch: image {seed_hash:#x} != computed {expect:#x}")
+    if flags & _SINGLEITEM:
+        (h,) = struct.unpack_from("<Q", data, 8)
+        return ThetaSketch(MAX_THETA_LONG, np.array([h], dtype=np.uint64), False, seed)
+    count = struct.unpack_from("<i", data, 8)[0]
+    if pre_longs == 2:
+        theta = MAX_THETA_LONG
+        off = 16
+    elif pre_longs == 3:
+        theta = struct.unpack_from("<q", data, 16)[0]
+        off = 24
+    else:
+        raise ValueError(f"bad preLongs {pre_longs} for compact image")
+    entries = np.frombuffer(data, dtype="<u8", count=count, offset=off).copy()
+    empty = count == 0 and theta == MAX_THETA_LONG
+    return ThetaSketch(int(theta), entries, empty, seed)
