@@ -1,0 +1,107 @@
+"""Banded MinHash signatures derived from the same murmur3 shingle-hash
+stream as the KMV sketch (SURVEY §2C.1: the classic r-rows × b-bands form
+of the k-minimum-values discipline; same seed, same shingle config).
+
+Permutations are universal hashes ``(a_p * h + b_p) mod P`` over the
+Mersenne prime P = 2^61 - 1, with (a_p, b_p) derived deterministically from
+the pipeline seed via murmur3 — so any two runs (and any two machines)
+produce identical signatures.
+
+Everything is vectorized: one (num_perm, m)-shaped modular multiply per
+document batch, no per-shingle Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datasketches_spark.config import DEFAULT_SEED
+from datasketches_spark.kernels.murmur3 import hash128_longs_vec
+
+MERSENNE_P = (1 << 61) - 1
+_EMPTY_SENTINEL = MERSENNE_P  # signature slot for empty documents
+
+
+def perm_params(num_perm: int, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) pairs: a in [1, P-1], b in [0, P-1], generated
+    from murmur3 of the permutation index with the pipeline seed."""
+    idx = np.arange(num_perm, dtype=np.uint64).reshape(-1, 1)
+    h1, h2 = hash128_longs_vec(idx, seed)
+    a = (h1 % np.uint64(MERSENNE_P - 1)) + np.uint64(1)
+    b = h2 % np.uint64(MERSENNE_P)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def _mulmod_p(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(a * h) mod (2^61-1) without 128-bit ints: split a into 30/31-bit
+    halves; reduction uses 2^61 ≡ 1 (mod P)."""
+    a_lo = a & np.uint64((1 << 31) - 1)
+    a_hi = a >> np.uint64(31)
+    # a*h = a_hi*2^31*h + a_lo*h ; each product < 2^(31+61) -> need care:
+    # reduce h first to < P (it is: inputs are < 2^61-1 or < 2^63 shingle
+    # hashes reduced by caller), so products < 2^92 still overflow u64.
+    # Use the standard trick on 61-bit operands: with h < 2^61,
+    # a_lo * h < 2^92 overflows; so split h as well.
+    h_lo = h & np.uint64((1 << 31) - 1)
+    h_hi = h >> np.uint64(31)
+    # a*h = (a_hi*h_hi)*2^62 + (a_hi*h_lo + a_lo*h_hi)*2^31 + a_lo*h_lo
+    # mod P with 2^61 ≡ 1: 2^62 ≡ 2, 2^31 stays.
+    with np.errstate(over="ignore"):
+        t0 = a_lo * h_lo  # < 2^62
+        t1 = a_hi * h_lo + a_lo * h_hi  # < 2^63
+        t2 = a_hi * h_hi  # < 2^60
+        # fold t1*2^31: t1 = t1_hi*2^30 + t1_lo ; t1*2^31 = t1_hi*2^61 + t1_lo*2^31
+        t1_lo = t1 & np.uint64((1 << 30) - 1)
+        t1_hi = t1 >> np.uint64(30)
+        acc = (t0 & np.uint64(MERSENNE_P)) + (t0 >> np.uint64(61))
+        acc += t1_hi + ((t1_lo << np.uint64(31)) & np.uint64(MERSENNE_P)) + (t1_lo >> np.uint64(30))
+        acc += (t2 << np.uint64(1) & np.uint64(MERSENNE_P)) + (t2 >> np.uint64(60))
+        # acc < ~5P: final reductions
+        acc = (acc & np.uint64(MERSENNE_P)) + (acc >> np.uint64(61))
+        acc = np.where(acc >= np.uint64(MERSENNE_P), acc - np.uint64(MERSENNE_P), acc)
+    return acc
+
+
+def signature(shingle_hashes: np.ndarray, num_perm: int, seed: int = DEFAULT_SEED,
+              params: tuple[np.ndarray, np.ndarray] | None = None) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of one document's shingle set."""
+    a, b = params if params is not None else perm_params(num_perm, seed)
+    h = np.asarray(shingle_hashes, dtype=np.uint64) % np.uint64(MERSENNE_P)
+    if h.shape[0] == 0:
+        return np.full(num_perm, _EMPTY_SENTINEL, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (num_perm, m): universal hash each shingle under each permutation
+        prod = _mulmod_p(a[:, None], h[None, :])
+        vals = prod + b[:, None]
+        vals = np.where(vals >= np.uint64(MERSENNE_P), vals - np.uint64(MERSENNE_P), vals)
+    return vals.min(axis=1)
+
+
+def signatures_batch(shingle_sets: list[np.ndarray], num_perm: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Signatures for a batch of documents -> (n_docs, num_perm) uint64."""
+    params = perm_params(num_perm, seed)
+    out = np.empty((len(shingle_sets), num_perm), dtype=np.uint64)
+    for i, s in enumerate(shingle_sets):
+        out[i] = signature(s, num_perm, seed, params)
+    return out
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Unbiased MinHash Jaccard estimate: fraction of agreeing slots."""
+    sig_a = np.asarray(sig_a, dtype=np.uint64)
+    sig_b = np.asarray(sig_b, dtype=np.uint64)
+    return float(np.count_nonzero(sig_a == sig_b)) / sig_a.shape[0]
+
+
+def band_hashes(sigs: np.ndarray, bands: int, rows: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """LSH band keys: murmur3 of each band's row-slice -> (n_docs, bands)
+    uint64. Band index is mixed into the hash seed so identical row values
+    in different bands never collide."""
+    n = sigs.shape[0]
+    assert sigs.shape[1] == bands * rows
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        block = np.ascontiguousarray(sigs[:, b * rows : (b + 1) * rows])
+        h1, _ = hash128_longs_vec(block, seed + 1_000_003 * (b + 1))
+        out[:, b] = h1
+    return out
