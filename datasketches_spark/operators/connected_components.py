@@ -1,0 +1,91 @@
+"""Connected components via alternating large-star / small-star rounds
+(Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+DataFrame-iterative clustering stage (SURVEY §2C.4).
+
+Each round is two shuffles (a groupBy-min and a join); ``localCheckpoint``
+after every round truncates the lineage so the plan does not grow with the
+iteration count. Convergence is detected by an order-insensitive edge-set
+checksum (sum of xxhash64(src,dst) + count) — two scalars, no collect of
+edge data. Near-dup clusters have tiny diameters so this converges in a
+handful of rounds; the star algorithm still guarantees O(log n) rounds on
+pathological chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(Γ(u) ∪ {u})."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """On edges directed high→low: connect N(u) ∪ {u} to its minimum."""
+    d = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        nbr_edges.unionAll(self_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # decimal accumulator: ANSI mode (Spark 4 default) rejects silent
+    # long-overflow in sum()
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """edges(src, dst) → assignments(doc_id, cluster_id) where cluster_id
+    is the minimum doc_id of the component. Nodes appearing in no edge are
+    absent (callers union singletons back with cluster_id = doc_id)."""
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_iterations} rounds")
+    # at convergence every edge is (member, root); roots also map to themselves
+    members = cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+    roots = cur.select(F.col("dst").alias("doc_id"), F.col("dst").alias("cluster_id")).distinct()
+    return (
+        members.unionAll(roots)
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )

@@ -1,0 +1,136 @@
+"""Signature-building stage: content → (MinHash signature, SimHash
+fingerprint, KMV/theta sketch, token stats) in one Arrow-batched pass.
+
+This is the pipeline's single heavy Python stage and the direct analogue of
+the reference's UpdateSketch build loop
+(/root/reference/Theta/UpdateSketch.cs:202-307 →
+/root/reference/Theta/HeapQuickSelectSketch.cs:239-321): where the
+reference feeds datums one at a time into an open-addressing table, the
+vectorized build computes the identical final sketch state per document in
+NumPy (distinct shingle hashes → k smallest). No per-row Python: murmur3,
+MinHash permutations and SimHash votes are all batched NumPy; data moves
+via Arrow.
+
+uint64 values are reinterpreted as signed int64 for Spark LongType columns
+(bit pattern preserved; all merge/compare logic downstream is
+equality/XOR-based or re-views the bits as uint64).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datasketches_spark.config import DedupConfig
+from datasketches_spark.kernels import kmv, minhash, shingles, simhash
+
+SIGNATURE_FIELDS = [
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_tokens", T.IntegerType(), False),
+    T.StructField("n_shingles", T.IntegerType(), False),
+    T.StructField("minhash", T.ArrayType(T.LongType(), False), False),
+    T.StructField("simhash", T.LongType(), False),
+    T.StructField("kmv_entries", T.ArrayType(T.LongType(), False), False),
+    T.StructField("kmv_theta", T.LongType(), False),
+]
+
+
+def signature_schema(extra_passthrough: list[T.StructField] | None = None) -> T.StructType:
+    return T.StructType(SIGNATURE_FIELDS + (extra_passthrough or []))
+
+
+def build_signatures(docs: DataFrame, cfg: DedupConfig,
+                     id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """docs(doc_id, content, ...) → signatures table.
+
+    Column pruning happens here deliberately: only (id, content) enter the
+    Arrow channel, and content never leaves it — at 100 TB the signature
+    table is ~3 orders of magnitude smaller than the input.
+    """
+    seed, ngram, num_perm, k = cfg.seed, cfg.ngram, cfg.num_perm, cfg.k
+    schema = signature_schema()
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        params = minhash.perm_params(num_perm, seed)
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            texts = pdf["content"].tolist()
+            token_lists = [shingles.tokenize(t or "") for t in texts]
+            token_hashes = shingles.hash_tokens_batch(token_lists, seed)
+            n = len(texts)
+            mh = np.empty((n, num_perm), dtype=np.uint64)
+            sh = np.empty(n, dtype=np.uint64)
+            kmv_list, theta_list = [], np.empty(n, dtype=np.int64)
+            n_tok = np.empty(n, dtype=np.int32)
+            n_shg = np.empty(n, dtype=np.int32)
+            for i in range(n):
+                sset = np.unique(shingles.shingle_hashes(token_hashes[i], ngram, seed))
+                sk = kmv.build(sset, k=k, seed=seed)
+                mh[i] = minhash.signature(sset, num_perm, seed, params)
+                sh[i] = simhash.fingerprint(sset)
+                kmv_list.append(sk.entries.view(np.int64))
+                theta_list[i] = np.int64(np.uint64(sk.theta).view(np.int64))
+                n_tok[i] = len(token_lists[i])
+                n_shg[i] = sset.shape[0]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_tokens": n_tok,
+                "n_shingles": n_shg,
+                "minhash": list(mh.view(np.int64)),
+                "simhash": sh.view(np.int64),
+                "kmv_entries": kmv_list,
+                "kmv_theta": theta_list,
+            })
+
+    pruned = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+    return pruned.mapInPandas(compute, schema)
+
+
+def merge_kmv_sketches(sig: DataFrame, group_cols: list[str], cfg: DedupConfig,
+                       entries_col: str = "kmv_entries", theta_col: str = "kmv_theta") -> DataFrame:
+    """Distributed theta Union as a two-phase aggregation: per-partition
+    partial unions inside applyInPandas groups, final merge per key — the
+    Spark mapping of the reference's Union gadget (UnionImpl.cs:232-281).
+    Returns one merged sketch + distinct estimate per group.
+    """
+    k, seed = cfg.k, cfg.seed
+    out_schema = T.StructType(
+        [f for f in sig.schema.fields if f.name in group_cols]
+        + [
+            T.StructField("kmv_entries", T.ArrayType(T.LongType(), False), False),
+            T.StructField("kmv_theta", T.LongType(), False),
+            T.StructField("estimate", T.DoubleType(), False),
+            T.StructField("lower_bound", T.DoubleType(), False),
+            T.StructField("upper_bound", T.DoubleType(), False),
+        ]
+    )
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # theta is always < 2^63 so the signed int64 column needs no
+        # reinterpretation; entries re-view their bits as uint64.
+        sketches = [
+            kmv.ThetaSketch(
+                int(t),
+                np.asarray(e, dtype=np.int64).view(np.uint64),
+                empty=(len(e) == 0 and int(t) == kmv.MAX_THETA_LONG),
+                seed=seed,
+            )
+            for e, t in zip(pdf[entries_col], pdf[theta_col])
+        ]
+        merged = kmv.union_many(sketches, k=k, seed=seed) if sketches else kmv.empty_sketch(seed)
+        row = {c: [key[i]] for i, c in enumerate(group_cols)}
+        row.update({
+            "kmv_entries": [merged.entries.view(np.int64)],
+            "kmv_theta": [np.uint64(merged.theta).astype(np.int64)],
+            "estimate": [merged.estimate()],
+            "lower_bound": [merged.lower_bound(2)],
+            "upper_bound": [merged.upper_bound(2)],
+        })
+        return pd.DataFrame(row)
+
+    return sig.groupBy(*group_cols).applyInPandas(merge, out_schema)

@@ -1,0 +1,146 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+Stage graph (every stage is a resumable checkpoint, SURVEY §7 stage 1):
+
+  docs(doc_id, repo, path, commit, lang, content)
+    │ sha2(content, 256)                       [JVM]
+    ├─ exact_groups: groupBy(sha256)           [1 shuffle, map-side combine]
+    ├─ distinct-content reps                   [reuses exact_groups]
+    ├─ signatures: mapInPandas murmur3/KMV/MinHash/SimHash   [no shuffle]
+    ├─ bands: posexplode(xxhash64 band keys)   [no shuffle]
+    ├─ buckets: groupBy(band, bhash) min/count [1 shuffle, skew-immune]
+    ├─ candidate star edges: bands ⋈ buckets   [AQE skew join]
+    ├─ verified edges: KMV Jaccard ≥ t         [2 joins vs signatures]
+    ├─ all edges = exact ∪ (verified mapped through content reps)
+    ├─ clusters: large-star/small-star CC      [iterative, checkpointed]
+    └─ dup_pairs + cluster assignments + metrics/lineage
+
+Near-dup detection runs on *distinct content* only (exact duplicates are
+collapsed first and re-attached through their representative), so a
+pathological corpus of a billion copies of one file costs one signature.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasketches_spark.config import DedupConfig
+from datasketches_spark.operators import exact_dedup, lsh, verify
+from datasketches_spark.operators.connected_components import connected_components
+from datasketches_spark.operators.signatures import build_signatures
+from datasketches_spark.plans.checkpoints import CheckpointStore
+
+
+@dataclass
+class DedupResult:
+    docs: DataFrame  # doc_id, repo, path, commit, lang, sha256 (content dropped)
+    signatures: DataFrame
+    verified_edges: DataFrame  # src, dst, jaccard_kmv, jaccard_minhash
+    clusters: DataFrame  # doc_id, cluster_id (every doc, singletons included)
+    dup_pairs: DataFrame  # id_a < id_b with jaccard estimates
+    metrics: dict
+
+
+def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
+              checkpoint_dir: str | None = None, id_col: str = "id") -> DedupResult:
+    store = CheckpointStore(spark, checkpoint_dir or "", cfg, enabled=bool(checkpoint_dir))
+
+    base = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
+    hashed = store.stage(
+        "docs_hashed",
+        lambda: exact_dedup.with_sha256(base).select(
+            "doc_id", "repo", "path", "commit", "lang", "sha256", "content"
+        ),
+    )
+
+    exact_groups = store.stage(
+        "exact_groups", lambda: exact_dedup.exact_dup_groups(hashed), upstream=["docs_hashed"]
+    )
+    exact_edges = exact_dedup.exact_dup_edges(hashed, exact_groups)
+
+    reps = store.stage(
+        "distinct_reps",
+        lambda: exact_dedup.distinct_content_docs(hashed).select("doc_id", "content"),
+        upstream=["docs_hashed"],
+    )
+
+    sig = store.stage(
+        "signatures",
+        lambda: build_signatures(reps, cfg),
+        upstream=["distinct_reps"],
+    )
+
+    bands = lsh.band_table(sig, cfg)
+    stats = store.stage("bucket_stats", lambda: lsh.bucket_stats(bands), upstream=["signatures"])
+
+    cand_edges, dropped = lsh.candidate_edges(bands, cfg, stats)
+    verified = store.stage(
+        "verified_edges",
+        lambda: verify.verify_pairs(
+            cand_edges.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b"),
+            sig, cfg,
+        ),
+        upstream=["signatures", "bucket_stats"],
+    )
+
+    all_edges = (
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(exact_edges)
+    )
+
+    clusters_nontrivial = store.stage(
+        "clusters",
+        lambda: connected_components(all_edges),
+        upstream=["verified_edges", "exact_groups"],
+    )
+    clusters = (
+        hashed.select("doc_id")
+        .join(clusters_nontrivial, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+    # report pairs: verified near-dup edges plus exact-dup pairs (via reps)
+    dup_pairs = store.stage(
+        "dup_pairs",
+        lambda: _expand_pairs(verified, exact_edges),
+        upstream=["verified_edges", "exact_groups"],
+    )
+
+    n_dropped = dropped.count()
+    metrics = {
+        "n_docs": hashed.count(),
+        "n_distinct_content": reps.count(),
+        "n_verified_edges": verified.count(),
+        "n_dropped_buckets": n_dropped,
+        "lsh_threshold": cfg.lsh_threshold,
+    }
+    store.write_metrics(metrics)
+    return DedupResult(
+        docs=hashed.drop("content"),
+        signatures=sig,
+        verified_edges=verified,
+        clusters=clusters,
+        dup_pairs=dup_pairs,
+        metrics=metrics,
+    )
+
+
+def _expand_pairs(verified: DataFrame, exact_edges: DataFrame) -> DataFrame:
+    exact_pairs = exact_edges.select(
+        F.least("src", "dst").alias("id_a"),
+        F.greatest("src", "dst").alias("id_b"),
+        F.lit(1.0).alias("jaccard_kmv"),
+        F.lit(1.0).alias("jaccard_minhash"),
+        F.lit("exact").alias("kind"),
+    )
+    near_pairs = verified.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "jaccard_kmv",
+        "jaccard_minhash",
+        F.lit("near").alias("kind"),
+    )
+    return near_pairs.unionByName(exact_pairs).dropDuplicates(["id_a", "id_b"])

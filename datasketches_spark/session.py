@@ -1,0 +1,34 @@
+"""SparkSession factory with the scale-oriented defaults the pipeline
+assumes everywhere: AQE (runtime re-plan + skew-join splitting), Arrow
+transfer for every pandas UDF, and shuffle partitions sized to the core
+count rather than Spark's default 200 (local mode has no cluster to absorb
+tiny tasks; on a real cluster this is set to ~2-3x total cores)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "datasketches_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None, driver_mem: str = "48g") -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    return builder.getOrCreate()
