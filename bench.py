@@ -1,0 +1,176 @@
+"""Benchmark driver: headline queries + end-to-end dedup throughput.
+
+Prints ONE JSON line:
+  {"metric": "files/sec end-to-end dedup throughput", "value": <files/sec>,
+   "unit": "sec", "queries": {...per-query seconds...}, "sf": <sf>}
+
+Env:
+  SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_N_FILES        synthetic dedup corpus size (default 40000)
+  BENCH_SCALING=1      also run the local[8]-vs-local[32] scaling probe via
+                       subprocesses and write BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_FILES = int(os.environ.get("BENCH_N_FILES", "40000"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def corpus_path(n_files: int) -> str:
+    return os.path.join(_REPO, ".cache", f"corpus_{n_files}")
+
+
+def ensure_corpus(spark, n_files: int) -> str:
+    path = corpus_path(n_files)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from datasketches_spark.sources.corpus import generate_corpus
+
+        generate_corpus(spark, n_files, seed=42).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_dedup_bench(spark, n_files: int) -> tuple[float, int]:
+    """Returns (seconds, n_files) for the dedup stages only (corpus read
+    from cached parquet; generation excluded per BASELINE.md protocol)."""
+    from datasketches_spark.config import DedupConfig
+    from datasketches_spark.pipeline import run_dedup
+
+    path = ensure_corpus(spark, n_files)
+    docs = spark.read.parquet(path)
+    t0 = time.time()
+    res = run_dedup(spark, docs, DedupConfig())
+    # force full materialization of the terminal outputs
+    n_clusters = res.clusters.count()
+    n_pairs = res.dup_pairs.count()
+    dt = time.time() - t0
+    assert n_clusters == n_files, (n_clusters, n_files)
+    return dt, n_pairs
+
+
+HEADLINE = [
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "dedup_clusters",
+    "kmv_distinct_suppliers",
+    "kmv_union_parts",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    "events_daily",
+    "embedding_topk",
+    "token_stats",
+    "lang_id",
+]
+
+
+def main() -> None:
+    from datasketches_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    dedup_sec, n_pairs = run_dedup_bench(spark, N_FILES)
+    qtimes["dedup_pipeline_e2e"] = round(dedup_sec, 3)
+    files_per_sec = N_FILES / dedup_sec
+
+    out = {
+        "metric": "files/sec end-to-end dedup throughput",
+        "value": round(files_per_sec, 1),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_of(SF_DIR),
+        "n_files": N_FILES,
+        "n_dup_pairs": n_pairs,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+    if os.environ.get("BENCH_SCALING") == "1":
+        scaling_probe()
+
+
+def scaling_probe() -> None:
+    """Same dedup job at local[8] and local[32] on identical input —
+    the sandbox proxy for the N→4N executor scaling rule. Subprocesses so
+    each run gets a fresh JVM with its own master."""
+    import subprocess
+
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), BENCH_SCALING="0",
+                   BENCH_MODE="dedup_only")
+        p = subprocess.run([sys.executable, __file__], env=env,
+                           capture_output=True, text=True, timeout=3600)
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    f8 = results[8]["value"]
+    f32 = results[32]["value"]
+    eff = f32 / (4.0 * f8)
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH — dedup throughput scaling (sandbox proxy for N→4N executors)\n\n"
+            f"corpus: {N_FILES} synthetic source files (seed 42), identical input both runs\n\n"
+            "| parallelism | files/sec | dedup wall sec |\n|---|---|---|\n"
+            f"| local[8] | {f8} | {results[8]['queries']['dedup_pipeline_e2e']} |\n"
+            f"| local[32] | {f32} | {results[32]['queries']['dedup_pipeline_e2e']} |\n\n"
+            f"scaling efficiency = files/sec@32 / (4 x files/sec@8) = **{eff:.3f}** "
+            "(target >= 0.8)\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "files_per_sec_8": f8, "files_per_sec_32": f32}))
+
+
+def dedup_only() -> None:
+    from datasketches_spark.session import get_spark
+
+    spark = get_spark("bench_dedup", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    dedup_sec, n_pairs = run_dedup_bench(spark, N_FILES)
+    out = {
+        "metric": "files/sec end-to-end dedup throughput",
+        "value": round(N_FILES / dedup_sec, 1),
+        "unit": "sec",
+        "queries": {"dedup_pipeline_e2e": round(dedup_sec, 3)},
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if os.environ.get("BENCH_MODE") == "dedup_only":
+        dedup_only()
+    else:
+        main()

@@ -45,8 +45,13 @@ class DedupResult:
 
 
 def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
-              checkpoint_dir: str | None = None, id_col: str = "id") -> DedupResult:
+              checkpoint_dir: str | None = None, id_col: str = "id",
+              collect_metrics: bool = False) -> DedupResult:
     store = CheckpointStore(spark, checkpoint_dir or "", cfg, enabled=bool(checkpoint_dir))
+    # without a checkpoint dir, persist the small intermediates so the
+    # several terminal actions (clusters, pairs) don't re-run the heavy
+    # signature stage; checkpointed stages already read back from parquet
+    persist = not checkpoint_dir
 
     base = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
     hashed = store.stage(
@@ -60,6 +65,8 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         "exact_groups", lambda: exact_dedup.exact_dup_groups(hashed), upstream=["docs_hashed"]
     )
     exact_edges = exact_dedup.exact_dup_edges(hashed, exact_groups)
+    if persist:
+        exact_edges = exact_edges.persist()
 
     reps = store.stage(
         "distinct_reps",
@@ -72,6 +79,8 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         lambda: build_signatures(reps, cfg),
         upstream=["distinct_reps"],
     )
+    if persist:
+        sig = sig.persist()
 
     bands = lsh.band_table(sig, cfg)
     stats = store.stage("bucket_stats", lambda: lsh.bucket_stats(bands), upstream=["signatures"])
@@ -85,6 +94,8 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         ),
         upstream=["signatures", "bucket_stats"],
     )
+    if persist:
+        verified = verified.persist()
 
     all_edges = (
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -109,15 +120,15 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         upstream=["verified_edges", "exact_groups"],
     )
 
-    n_dropped = dropped.count()
-    metrics = {
-        "n_docs": hashed.count(),
-        "n_distinct_content": reps.count(),
-        "n_verified_edges": verified.count(),
-        "n_dropped_buckets": n_dropped,
-        "lsh_threshold": cfg.lsh_threshold,
-    }
-    store.write_metrics(metrics)
+    metrics = {"lsh_threshold": cfg.lsh_threshold}
+    if collect_metrics or checkpoint_dir:
+        metrics.update({
+            "n_docs": hashed.count(),
+            "n_distinct_content": reps.count(),
+            "n_verified_edges": verified.count(),
+            "n_dropped_buckets": dropped.count(),
+        })
+        store.write_metrics(metrics)
     return DedupResult(
         docs=hashed.drop("content"),
         signatures=sig,
