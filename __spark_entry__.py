@@ -323,6 +323,70 @@ def _q_dedup_clusters(spark, sf_dir):
     return res.clusters
 
 
+def _q_lineitem_rollup(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+def _q_customers_with_orders(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _q_running_order_total(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.95) — the
+    embedding flavor of dedup, exact and oracle-checked."""
+    from datasketches_spark.operators.ann import _dot, _norm
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+    )
+
+
+def _q_doc_source_distinct(spark, sf_dir):
+    return _read(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_sha256": _q_doc_sha256,
@@ -342,6 +406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "dedup_clusters": _q_dedup_clusters,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "customers_with_orders": _q_customers_with_orders,
+        "customers_without_orders": _q_customers_without_orders,
+        "running_order_total": _q_running_order_total,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "doc_source_distinct": _q_doc_source_distinct,
     }
 
 
@@ -437,6 +507,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, "
             "round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2"
         ),
+        "lineitem_rollup": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n, "
+            "round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "customers_with_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "running_order_total": (
+            "SELECT o_custkey, o_orderkey, "
+            "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate ASC, o_orderkey ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total "
+            "FROM orders WHERE o_custkey < 50"
+        ),
+        "embedding_near_dups": (
+            "WITH v AS (SELECT vec_id, embedding FROM embeddings), "
+            "s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "  list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+            "            for i in range(1, len(a.embedding)+1)]) / "
+            "  (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in a.embedding])) * "
+            "   sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in b.embedding]))) AS cos "
+            "  FROM v a, v b WHERE a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, round(cos, 5) AS cosine FROM s WHERE cos >= 0.95"
+        ),
+        "doc_source_distinct": "SELECT DISTINCT lang, source FROM documents",
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
             "scored AS (SELECT q.query_id, e.vec_id, "

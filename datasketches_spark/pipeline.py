@@ -67,6 +67,7 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     exact_edges = exact_dedup.exact_dup_edges(hashed, exact_groups)
     if persist:
         exact_edges = exact_edges.persist()
+        exact_edges.count()
 
     reps = store.stage(
         "distinct_reps",
@@ -80,7 +81,12 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         upstream=["distinct_reps"],
     )
     if persist:
+        # eager materialization: downstream plans reference this cache from
+        # several subtrees (band table, verify a-side, verify b-side); if
+        # the cache is still cold those subtrees each recompute the whole
+        # signature stage concurrently
         sig = sig.persist()
+        sig.count()
 
     bands = lsh.band_table(sig, cfg)
     stats = store.stage("bucket_stats", lambda: lsh.bucket_stats(bands), upstream=["signatures"])
@@ -96,6 +102,7 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     )
     if persist:
         verified = verified.persist()
+        verified.count()
 
     all_edges = (
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
