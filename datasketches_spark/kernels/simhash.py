@@ -25,7 +25,41 @@ def fingerprint(shingle_hashes: np.ndarray, weights: np.ndarray | None = None) -
 
 
 def fingerprints_batch(shingle_sets: list[np.ndarray]) -> np.ndarray:
-    return np.fromiter((fingerprint(s) for s in shingle_sets), dtype=np.uint64, count=len(shingle_sets))
+    """Batched across documents: per-bit votes via a REUSED uint64 bit
+    buffer (shift+mask in place) and a native-dtype segment reduceat.
+    Avoids both large fresh allocations (pathological page-fault cost in
+    sandboxed executors) and reduceat's slow casting path."""
+    n = len(shingle_sets)
+    out = np.zeros(n, dtype=np.uint64)
+    lengths = np.fromiter((s.shape[0] for s in shingle_sets), dtype=np.int64, count=n)
+    nonempty = np.flatnonzero(lengths > 0)
+    if nonempty.size == 0:
+        return out
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    m_chunk = max(8192, int(lengths.max()))
+    bitbuf = np.empty((m_chunk, 64), dtype=np.uint64)
+    one = np.uint64(1)
+    start = 0
+    while start < nonempty.size:
+        end = start
+        tot = 0
+        while end < nonempty.size and (tot == 0 or tot + lengths[nonempty[end]] <= m_chunk):
+            tot += lengths[nonempty[end]]
+            end += 1
+        idx = nonempty[start:end]
+        concat = np.concatenate([shingle_sets[i] for i in idx]).astype(np.uint64)
+        m = concat.shape[0]
+        view = bitbuf[:m]
+        np.right_shift(concat[:, None], shifts, out=view)
+        np.bitwise_and(view, one, out=view)
+        seg = np.zeros(idx.size, dtype=np.int64)
+        np.cumsum(lengths[idx][:-1], out=seg[1:])
+        sums = np.add.reduceat(view, seg, axis=0)  # uint64, native fast path
+        votes = sums.astype(np.int64) * 2 - lengths[idx][:, None]
+        packed = np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
+        out[idx] = packed.view(np.uint64).ravel()
+        start = end
+    return out
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)

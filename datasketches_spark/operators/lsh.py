@@ -111,6 +111,39 @@ def candidate_pairs_exact(bands: DataFrame, cfg: DedupConfig,
     )
 
 
+def candidate_pairs_salted(bands: DataFrame, cfg: DedupConfig, n_salts: int = 8,
+                           stats: DataFrame | None = None) -> DataFrame:
+    """The north-rule salted-repartition hash join: the self-equi-join on
+    (band, bhash) with a salt column appended to the key, so one hot bucket
+    spreads over ``n_salts`` reducers instead of melting one.
+
+    Left side gets salt = pmod(xxhash64(doc_id), S); right side is
+    replicated across all S salt values (explode of a literal salt array),
+    so every (x, y) bucket pair meets on exactly one salted key —
+    completeness preserved, skew defused at S× replication cost of the
+    right side. Same (id_a < id_b) output contract as
+    ``candidate_pairs_exact``."""
+    if stats is None:
+        stats = bucket_stats(bands)
+    eligible = stats.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap))
+    capped = bands.join(eligible.select("band", "bhash"), ["band", "bhash"])
+    a = capped.select(
+        "band", "bhash", F.col("doc_id").alias("id_a"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("salt"),
+    )
+    b = capped.select(
+        "band", "bhash", F.col("doc_id").alias("id_b"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("salt"),
+    )
+    return (
+        a.repartition("band", "bhash", "salt")
+        .join(b, ["band", "bhash", "salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def simhash_bands(sig: DataFrame, n_tables: int = 4, simhash_col: str = "simhash") -> DataFrame:
     """SimHash LSH: split the 64-bit fingerprint into ``n_tables`` 16-bit
     chunks; near-dups within Hamming distance n_tables-1 share at least one

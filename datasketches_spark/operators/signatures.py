@@ -63,20 +63,21 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
             token_lists = [shingles.tokenize(t or "") for t in texts]
             token_hashes = shingles.hash_tokens_batch(token_lists, seed)
             n = len(texts)
-            mh = np.empty((n, num_perm), dtype=np.uint64)
-            sh = np.empty(n, dtype=np.uint64)
+            shingle_sets: list[np.ndarray] = []
             kmv_list, theta_list = [], np.empty(n, dtype=np.int64)
             n_tok = np.empty(n, dtype=np.int32)
             n_shg = np.empty(n, dtype=np.int32)
             for i in range(n):
                 sset = np.unique(shingles.shingle_hashes(token_hashes[i], ngram, seed))
+                shingle_sets.append(sset)
                 sk = kmv.build(sset, k=k, seed=seed)
-                mh[i] = minhash.signature(sset, num_perm, seed, params)
-                sh[i] = simhash.fingerprint(sset)
                 kmv_list.append(sk.entries.view(np.int64))
                 theta_list[i] = np.int64(np.uint64(sk.theta).view(np.int64))
                 n_tok[i] = len(token_lists[i])
                 n_shg[i] = sset.shape[0]
+            # MinHash + SimHash vectorized across the whole Arrow batch
+            mh = minhash.signatures_batch(shingle_sets, num_perm, seed, params)
+            sh = simhash.fingerprints_batch(shingle_sets)
             yield pd.DataFrame({
                 "doc_id": ids,
                 "n_tokens": n_tok,

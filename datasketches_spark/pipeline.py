@@ -69,12 +69,17 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         exact_edges = exact_edges.persist()
         exact_edges.count()
 
+    n_cores = spark.sparkContext.defaultParallelism
     reps = store.stage(
         "distinct_reps",
         lambda: exact_dedup.distinct_content_docs(hashed).select("doc_id", "content"),
         upstream=["docs_hashed"],
+        min_partitions=n_cores,  # feeds the compute-heavy signature stage
     )
 
+    # no min_partitions here: the input checkpoint already carries n_cores
+    # files, and mapInPandas preserves partitioning — a repartition would
+    # shuffle the wide signature arrays for nothing
     sig = store.stage(
         "signatures",
         lambda: build_signatures(reps, cfg),

@@ -65,11 +65,13 @@ class CheckpointStore:
 
     def stage(self, name: str, compute: Callable[[], DataFrame],
               upstream: list[str] | None = None,
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              min_partitions: int | None = None) -> DataFrame:
         """Run (or resume) a stage. The returned DataFrame always reads from
         the checkpointed parquet, so downstream plans never re-execute
         upstream stages."""
         upstream = upstream or []
+        t0 = time.time()
         if not self.enabled:
             df = compute()
             self.lineage.append({"stage": name, "resumed": False, "checkpointed": False})
@@ -79,6 +81,11 @@ class CheckpointStore:
             self.lineage.append({"stage": name, "resumed": True})
             return self.spark.read.parquet(dpath)
         df = compute()
+        if min_partitions:
+            # AQE coalesces small shuffle outputs to very few partitions;
+            # a checkpoint that feeds a compute-heavy downstream stage must
+            # keep enough files for that stage's parallelism
+            df = df.repartition(min_partitions)
         tmp = dpath + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         writer = df.write.mode("overwrite")
@@ -102,7 +109,11 @@ class CheckpointStore:
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.rename(mpath + ".tmp", mpath)
-        self.lineage.append({"stage": name, "resumed": False, "n_rows": n_rows})
+        entry = {"stage": name, "resumed": False, "n_rows": n_rows,
+                 "wall_sec": round(time.time() - t0, 2)}
+        self.lineage.append(entry)
+        if os.environ.get("DEDUP_PROFILE"):
+            print(f"[stage {name}] {entry['wall_sec']}s rows={n_rows}", flush=True)
         return self.spark.read.parquet(dpath)
 
     # ------------------------------------------------------------ metrics

@@ -141,7 +141,10 @@ def generate_corpus(spark: SparkSession, n_files: int, seed: int = 42,
             for doc_id in ids:
                 doc_id = int(doc_id)
                 gid, role = divmod(doc_id, 20)
-                lang = LANGS[doc_id % len(LANGS)]
+                # planted-duplicate roles share the group's lang so that
+                # exact-dup pairs are byte-identical (incl. the rendered
+                # header); singletons vary lang per doc
+                lang = LANGS[(gid if role >= 14 else doc_id) % len(LANGS)]
                 toks = _doc_tokens(seed, doc_id)
                 # zipfian-ish repo sizes: many files map to low repo indices
                 r = (gid * 2654435761) % 10_000

@@ -175,3 +175,15 @@ def test_streaming_exact_dedup(spark, tmp_path):
     rows = spark.sql(f"SELECT content FROM {qname}").collect()
     contents = sorted(r["content"] for r in rows)
     assert contents == ["aaa", "bbb", "ccc"]
+
+
+def test_salted_join_equals_exact_pairs(spark, sig):
+    """Salted-repartition self-join produces exactly the same candidate
+    pair set as the plain bucket self-join (completeness under salting)."""
+    from datasketches_spark.operators import lsh
+
+    bands = lsh.band_table(sig, CFG)
+    exact = {(r["id_a"], r["id_b"]) for r in lsh.candidate_pairs_exact(bands, CFG).collect()}
+    salted = {(r["id_a"], r["id_b"]) for r in lsh.candidate_pairs_salted(bands, CFG, n_salts=4).collect()}
+    assert exact == salted
+    assert len(exact) > 0

@@ -98,7 +98,7 @@ def test_band_hashes_equal_iff_band_rows_equal():
 
 def test_empty_doc_signature_sentinel():
     sig = minhash.signature(np.empty(0, dtype=np.uint64), 16)
-    assert np.all(sig == MERSENNE_P)
+    assert np.all(sig == minhash.EMPTY_SENTINEL)
 
 
 # ---- simhash
