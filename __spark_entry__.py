@@ -387,6 +387,61 @@ def _q_doc_source_distinct(spark, sf_dir):
     return _read(spark, sf_dir, "documents").select("lang", "source").distinct()
 
 
+def _q_common_spans(spark, sf_dir):
+    """Longest-common-token-span + containment for adjacent doc pairs —
+    the suffix-array substring pass on a fixed pair set (rows-only; the
+    kernel is NumPy-oracle tested)."""
+    from datasketches_spark.operators.spans import verify_spans
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    pairs = d.select(F.col("doc_id").alias("id_a")).filter(F.col("id_a") < 40).withColumn(
+        "id_b", F.col("id_a") + 1
+    )
+    out = verify_spans(pairs, d, CFG)
+    return out.select("id_a", "id_b", "common_span_tokens", F.round("containment", 6).alias("containment"))
+
+
+def _q_salted_candidate_pairs(spark, sf_dir):
+    """LSH candidate pairs via the salted-repartition self-join (rows-only;
+    tested equal to the unsalted enumeration in tests/test_operators.py)."""
+    from datasketches_spark.operators import lsh
+    from datasketches_spark.operators.signatures import build_signatures
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    sig = build_signatures(d, CFG)
+    bands = lsh.band_table(sig, CFG)
+    return lsh.candidate_pairs_salted(bands, CFG, n_salts=4)
+
+
+def _q_kmv_serde_roundtrip(spark, sf_dir):
+    """SerVer-3 sketch image round trip through BinaryType columns:
+    returns per-doc (image length, estimate drift == 0) — rows-only."""
+    from datasketches_spark.operators import serde
+    from datasketches_spark.operators.signatures import build_signatures
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    sig = build_signatures(d, CFG)
+    imgs = serde.with_serialized_kmv(sig)
+    back = imgs.withColumn("sk", serde.kmv_deserialize_udf()(F.col("kmv_image")))
+    return back.select(
+        "doc_id",
+        F.length("kmv_image").alias("image_bytes"),
+        (F.col("sk.kmv_theta") == F.col("kmv_theta")).cast("int").alias("theta_preserved"),
+        (F.size("sk.kmv_entries") == F.size("kmv_entries")).cast("int").alias("entries_preserved"),
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Binary media column plumbing: deterministic fake decode features
+    (rows-only; payload sha256 is the stable check)."""
+    from datasketches_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 200, seed=7)
+    return extract_features(media, dim=16, fake=True).select(
+        "media_id", "kind", "n_bytes", "payload_sha256"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_sha256": _q_doc_sha256,
@@ -412,6 +467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_order_total": _q_running_order_total,
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_source_distinct": _q_doc_source_distinct,
+        "common_spans": _q_common_spans,
+        "salted_candidate_pairs": _q_salted_candidate_pairs,
+        "kmv_serde_roundtrip": _q_kmv_serde_roundtrip,
+        "multimodal_features": _q_multimodal_features,
     }
 
 

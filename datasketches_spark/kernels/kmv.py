@@ -107,19 +107,41 @@ def _finalize(theta: int, entries: np.ndarray, empty: bool, k: int, seed: int) -
     return ThetaSketch(int(theta), entries, empty, seed)
 
 
-def build(hashes: np.ndarray, k: int = DEFAULT_K, seed: int = DEFAULT_SEED) -> ThetaSketch:
-    """Build a trimmed sketch from theta-domain hashes (p = 1.0 path).
+def initial_theta(p: float) -> int:
+    """Starting thetaLong for sampling probability p
+    (HeapQuickSelectSketch.cs:73: long.MaxValue when p >= 1, else
+    (long)(p * LONG_MAX_VALUE_AS_DOUBLE))."""
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"p must be in (0, 1]: {p}")
+    if p >= 1.0:
+        return MAX_THETA_LONG
+    return int(p * LONG_MAX_DOUBLE)
+
+
+def build(hashes: np.ndarray, k: int = DEFAULT_K, seed: int = DEFAULT_SEED,
+          p: float = 1.0) -> ThetaSketch:
+    """Build a trimmed sketch from theta-domain hashes.
 
     Equivalent to feeding every value through UpdateSketch.HashUpdate and
     calling Rebuild(): distinct, reject the reserved values 0 and 2^63-1
-    (HashOperations.cs:326-330), keep the k smallest.
+    (HashOperations.cs:326-330) and anything >= theta, keep the k smallest.
+    With sampling probability p < 1, theta starts at p * 2^63 so only a
+    p-fraction of the hash domain is ever retained
+    (HeapQuickSelectSketch.cs:73); the sketch is then in estimation mode
+    even when fewer than k values survive.
     """
+    theta0 = initial_theta(p)
     h = np.asarray(hashes, dtype=np.uint64)
-    h = h[(h > 0) & (h < np.uint64(MAX_THETA_LONG))]
+    nonempty = h.shape[0] > 0
+    h = h[(h > 0) & (h < np.uint64(theta0))]
     if h.shape[0] == 0:
+        if nonempty and p < 1.0:
+            # data was seen but sampled away: NOT the virgin empty state
+            # (UpdateSketch tracks empty=false once any update arrives)
+            return ThetaSketch(theta0, np.empty(0, dtype=np.uint64), False, seed)
         return empty_sketch(seed)
     u = np.unique(h)  # sorted ascending
-    return _finalize(MAX_THETA_LONG, u, False, k, seed)
+    return _finalize(theta0, u, False, k, seed)
 
 
 def _check_merge(a: ThetaSketch, b: ThetaSketch) -> None:

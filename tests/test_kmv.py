@@ -219,3 +219,36 @@ def test_merge_seed_mismatch_rejected():
     b = kmv.ThetaSketch(a.theta, a.entries, a.empty, seed=1234)
     with pytest.raises(ValueError, match="seed mismatch"):
         kmv.union(a, b)
+
+
+# ---- sampling probability p (HeapQuickSelectSketch.cs:73)
+
+
+def test_sampling_p_estimate_unbiased():
+    h = hashes_of_range(0, 50_000)
+    s = kmv.build(h, k=4096, p=0.5)
+    assert s.is_estimation_mode()
+    assert s.theta <= kmv.MAX_THETA_LONG // 2 + 1
+    assert abs(s.estimate() - 50_000) < 50_000 * 0.08
+
+
+def test_sampling_p_small_stream_still_estimates():
+    h = hashes_of_range(0, 100)
+    s = kmv.build(h, k=4096, p=0.25)
+    # ~25 values survive; estimate scales back up by 1/p
+    assert 40 <= s.estimate() <= 220
+    assert not s.empty
+
+
+def test_sampling_p_all_sampled_away_not_empty():
+    h = hashes_of_range(0, 1)
+    s = kmv.build(h, k=4096, p=1e-6)
+    assert s.count == 0 and not s.empty
+    assert s.upper_bound(2) > 0.0  # noDataSeen=False -> UB exists
+
+
+def test_sampling_p_validation():
+    with pytest.raises(ValueError):
+        kmv.build(hashes_of_range(0, 10), p=0.0)
+    with pytest.raises(ValueError):
+        kmv.build(hashes_of_range(0, 10), p=1.5)
