@@ -29,6 +29,12 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # default 64MB task-memory pages mean every shuffle task first-touches
+        # a fresh 64MB heap region; this environment's page-fault latency makes
+        # that the dominant cost of every exchange (measured 2x end-to-end).
+        # 2MB pages cut the faulted footprint 32x with no downside at our
+        # per-task data sizes.
+        .config("spark.buffer.pageSize", "2m")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
