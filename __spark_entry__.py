@@ -431,6 +431,30 @@ def _q_kmv_serde_roundtrip(spark, sf_dir):
     )
 
 
+def _q_events_json(spark, sf_dir):
+    """JSON column functions: extract props.k, aggregate per event_type."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_users_view_not_purchase(spark, sf_dir):
+    """Relational set difference (EXCEPT): users who viewed but never
+    purchased."""
+    e = _read(spark, sf_dir, "events")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.exceptAll(buyers).distinct()
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary media column plumbing: deterministic fake decode features
     (rows-only; payload sha256 is the stable check)."""
@@ -467,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_order_total": _q_running_order_total,
         "embedding_near_dups": _q_embedding_near_dups,
         "doc_source_distinct": _q_doc_source_distinct,
+        "events_json": _q_events_json,
+        "users_view_not_purchase": _q_users_view_not_purchase,
         "common_spans": _q_common_spans,
         "salted_candidate_pairs": _q_salted_candidate_pairs,
         "kmv_serde_roundtrip": _q_kmv_serde_roundtrip,
@@ -598,6 +624,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, round(cos, 5) AS cosine FROM s WHERE cos >= 0.95"
         ),
         "doc_source_distinct": "SELECT DISTINCT lang, source FROM documents",
+        "events_json": (
+            "SELECT event_type, count(*) AS n, "
+            "sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k, "
+            "max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k "
+            "FROM events GROUP BY 1"
+        ),
+        "users_view_not_purchase": (
+            "SELECT DISTINCT user_id FROM ("
+            "SELECT user_id FROM events WHERE event_type = 'view' "
+            "EXCEPT ALL "
+            "SELECT user_id FROM events WHERE event_type = 'purchase')"
+        ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
             "scored AS (SELECT q.query_id, e.vec_id, "
