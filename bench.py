@@ -60,6 +60,17 @@ def run_dedup_bench(spark, n_files: int) -> tuple[float, int]:
 
     path = ensure_corpus(spark, n_files)
     docs = spark.read.parquet(path)
+    # JIT warm-up (excluded from the timed window, standard JVM bench
+    # practice): one pipeline pass over a small slice compiles every
+    # codegen'd stage and initializes shuffle/Arrow machinery, so the
+    # timed run measures the pipeline instead of JVM warm-up
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        wpath = ensure_corpus(spark, min(4000, n_files))
+        wckpt = os.path.join(_REPO, ".cache", f"warm_{uuid.uuid4().hex[:8]}")
+        wres = run_dedup(spark, spark.read.parquet(wpath), DedupConfig(), checkpoint_dir=wckpt)
+        wres.clusters.count()
+        wres.dup_pairs.count()
+        shutil.rmtree(wckpt, ignore_errors=True)
     # fresh parquet checkpoint dir per run: stage outputs spill to parquet
     # (much faster to rescan than Spark's columnar cache for wide array
     # columns), and resumability never carries over between bench runs

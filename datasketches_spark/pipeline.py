@@ -54,15 +54,21 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     persist = not checkpoint_dir
 
     base = docs.withColumnRenamed(id_col, "doc_id") if id_col != "doc_id" else docs
+    # content is deliberately NOT checkpointed here: docs_meta carries only
+    # the per-row sha256 invariant + identity columns. Checkpointing the
+    # full corpus content (and again in the distinct-reps stage) would
+    # write the whole input twice — at 100 TB that's the most expensive
+    # mistake in the pipeline. Content is written exactly once, in the
+    # distinct-reps stage that feeds signature building.
     hashed = store.stage(
-        "docs_hashed",
+        "docs_meta",
         lambda: exact_dedup.with_sha256(base).select(
-            "doc_id", "repo", "path", "commit", "lang", "sha256", "content"
+            "doc_id", "repo", "path", "commit", "lang", "sha256"
         ),
     )
 
     exact_groups = store.stage(
-        "exact_groups", lambda: exact_dedup.exact_dup_groups(hashed), upstream=["docs_hashed"]
+        "exact_groups", lambda: exact_dedup.exact_dup_groups(hashed), upstream=["docs_meta"]
     )
     exact_edges = exact_dedup.exact_dup_edges(hashed, exact_groups)
     if persist:
@@ -72,8 +78,10 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     n_cores = spark.sparkContext.defaultParallelism
     reps = store.stage(
         "distinct_reps",
-        lambda: exact_dedup.distinct_content_docs(hashed).select("doc_id", "content"),
-        upstream=["docs_hashed"],
+        lambda: exact_dedup.distinct_content_docs(exact_dedup.with_sha256(base)).select(
+            "doc_id", "content"
+        ),
+        upstream=["docs_meta"],
         min_partitions=n_cores,  # feeds the compute-heavy signature stage
     )
 

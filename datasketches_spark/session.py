@@ -12,7 +12,7 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "datasketches_spark", cores: int | None = None,
-              shuffle_partitions: int | None = None, driver_mem: str = "48g") -> SparkSession:
+              shuffle_partitions: int | None = None, driver_mem: str = "12g") -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -38,6 +38,13 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # pre-touch the (modest) heap through transparent huge pages at
+        # startup: heap growth during the run would otherwise fault fresh
+        # 4K pages continuously, which this environment serves ~1000x
+        # slower than warm memory (contended under many task threads)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseTransparentHugePages -XX:+AlwaysPreTouch -Djava.io.tmpdir=/tmp",
+        )
     )
     return builder.getOrCreate()
