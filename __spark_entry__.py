@@ -142,82 +142,25 @@ def _q_shingle_stats(spark, sf_dir):
     )
 
 
-def _kmv_group_estimate(df, group_col, value_col):
-    """Per-group KMV distinct estimate via the sketch kernels (exact mode
-    when the group's distinct count <= k, so it equals COUNT(DISTINCT))."""
-    import numpy as np
-    import pandas as pd
-
-    from datasketches_spark.kernels import kmv as _kmv
-    from datasketches_spark.kernels.murmur3 import sketch_hash_longs_vec
-
-    seed, k = CFG.seed, CFG.k
-    schema = T.StructType([
-        T.StructField(group_col, df.schema[group_col].dataType, False),
-        T.StructField("distinct_est", T.LongType(), False),
-    ])
-
-    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf[value_col].to_numpy().astype(np.int64).view(np.uint64).reshape(-1, 1)
-        sk = _kmv.build(sketch_hash_longs_vec(vals, seed), k=k, seed=seed)
-        return pd.DataFrame({group_col: [key[0]], "distinct_est": [int(round(sk.estimate()))]})
-
-    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(agg, schema)
-
-
 def _q_kmv_distinct_suppliers(spark, sf_dir):
+    """Per-returnflag distinct suppliers via the two-phase distributed theta
+    Union (mapInPandas partials + per-key merge); exact mode ⇒ equals
+    COUNT(DISTINCT)."""
+    from datasketches_spark.operators.signatures import kmv_distinct_by_group
+
     li = _read(spark, sf_dir, "lineitem")
-    return _kmv_group_estimate(li, "l_returnflag", "l_suppkey")
+    return kmv_distinct_by_group(li, "l_returnflag", "l_suppkey", CFG, out_col="distinct_est")
 
 
 def _q_kmv_union_parts(spark, sf_dir):
-    """Distinct parts per order-priority via KMV built per orderkey-group
-    partials then merged — exercises the distributed theta Union; exact
-    mode ⇒ equals COUNT(DISTINCT)."""
-    import numpy as np
-    import pandas as pd
+    """Distinct parts per order-priority via the same two-phase distributed
+    theta Union, over a join — exact mode ⇒ equals COUNT(DISTINCT)."""
+    from datasketches_spark.operators.signatures import kmv_distinct_by_group
 
-    from datasketches_spark.kernels import kmv as _kmv
-    from datasketches_spark.kernels.murmur3 import sketch_hash_longs_vec
-
-    seed, k = CFG.seed, CFG.k
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     j = li.join(o, li.l_orderkey == o.o_orderkey).select("o_orderpriority", "l_partkey")
-
-    part_schema = T.StructType([
-        T.StructField("o_orderpriority", T.StringType(), False),
-        T.StructField("entries", T.ArrayType(T.LongType(), False), False),
-        T.StructField("theta", T.LongType(), False),
-    ])
-
-    def partial(itr):
-        for pdf in itr:
-            for prio, grp in pdf.groupby("o_orderpriority"):
-                vals = grp["l_partkey"].to_numpy().astype(np.int64).view(np.uint64).reshape(-1, 1)
-                sk = _kmv.build(sketch_hash_longs_vec(vals, seed), k=k, seed=seed)
-                yield pd.DataFrame({
-                    "o_orderpriority": [prio],
-                    "entries": [sk.entries.view(np.int64)],
-                    "theta": [np.int64(sk.theta)],
-                })
-
-    final_schema = T.StructType([
-        T.StructField("o_orderpriority", T.StringType(), False),
-        T.StructField("n_parts", T.LongType(), False),
-    ])
-
-    def final(key, pdf):
-        sketches = [
-            _kmv.ThetaSketch(int(t), np.asarray(e, dtype=np.int64).view(np.uint64),
-                             empty=len(e) == 0 and int(t) == _kmv.MAX_THETA_LONG, seed=seed)
-            for e, t in zip(pdf["entries"], pdf["theta"])
-        ]
-        m = _kmv.union_many(sketches, k=k, seed=seed)
-        return pd.DataFrame({"o_orderpriority": [key[0]], "n_parts": [int(round(m.estimate()))]})
-
-    partials = j.mapInPandas(partial, part_schema)
-    return partials.groupBy("o_orderpriority").applyInPandas(final, final_schema)
+    return kmv_distinct_by_group(j, "o_orderpriority", "l_partkey", CFG, out_col="n_parts")
 
 
 def _q_pricing_summary(spark, sf_dir):
@@ -291,10 +234,10 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 
     cfg = DedupConfig(jaccard_threshold=0.5)
     d = _read(spark, sf_dir, "documents").select(F.col("doc_id"), F.col("text").alias("content"))
-    sig = build_signatures(d, cfg)
+    sig = build_signatures(d, cfg, min_parallelism=spark.sparkContext.defaultParallelism)
     bands = lsh.band_table(sig, cfg)
     pairs = lsh.candidate_pairs_exact(bands, cfg)
-    return verify.verify_pairs(pairs, sig, cfg).orderBy("id_a", "id_b")
+    return verify.verify_pairs(pairs, sig, cfg)
 
 
 def _q_simhash_fingerprints(spark, sf_dir):
@@ -302,7 +245,7 @@ def _q_simhash_fingerprints(spark, sf_dir):
     from datasketches_spark.operators.signatures import build_signatures
 
     d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    sig = build_signatures(d, CFG)
+    sig = build_signatures(d, CFG, min_parallelism=spark.sparkContext.defaultParallelism)
     return sig.select("doc_id", "simhash", "n_shingles")
 
 
@@ -364,23 +307,19 @@ def _q_running_order_total(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.95) — the
-    embedding flavor of dedup, exact and oracle-checked."""
-    from datasketches_spark.operators.ann import _dot, _norm
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.95) via
+    multi-table hyperplane LSH + exact-cosine verify — the engine path is
+    an equi-join on (table, bucket), never the O(n²) cross join (which
+    survives only as the DuckDB oracle twin). Collision probability for a
+    qualifying pair is >= 1 - 1.4e-4 at (16 tables × 8 planes); tested
+    equal to brute force on planted near-dups in tests/test_operators.py."""
+    from datasketches_spark.operators.ann import cosine_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.95)
-        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
-    )
+    out = cosine_near_dup_pairs(emb, dim=64, threshold=0.95)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
 
 
 def _q_doc_source_distinct(spark, sf_dir):
@@ -447,21 +386,25 @@ def _q_events_json(spark, sf_dir):
 
 
 def _q_users_view_not_purchase(spark, sf_dir):
-    """Relational set difference (EXCEPT): users who viewed but never
-    purchased."""
-    e = _read(spark, sf_dir, "events")
-    viewers = e.filter(F.col("event_type") == "view").select("user_id")
-    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
-    return viewers.exceptAll(buyers).distinct()
+    """Relational set difference (EXCEPT, set semantics): (user, day) pairs
+    with a view but NO purchase that day — anti-join of the distinct viewer
+    set against the buyer set, so a day with 3 views and 1 purchase is
+    excluded (multiset exceptAll would wrongly keep 2 copies)."""
+    e = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    viewers = e.filter(F.col("event_type") == "view").select("user_id", "day").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id", "day")
+    return viewers.join(buyers, ["user_id", "day"], "left_anti")
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """Binary media column plumbing: deterministic fake decode features
-    (rows-only; payload sha256 is the stable check)."""
+    """Binary media column plumbing with REAL pure-NumPy decode (PPM
+    images): decode → feature-extract over mapInPandas (rows-only; payload
+    sha256 is the stable check)."""
     from datasketches_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 200, seed=7)
-    return extract_features(media, dim=16, fake=True).select(
+    return extract_features(media, dim=16, fake=False).select(
         "media_id", "kind", "n_bytes", "payload_sha256"
     )
 
@@ -511,8 +454,12 @@ _TOKS = r"regexp_extract_all(text, '[A-Za-z_][A-Za-z_0-9]*|[0-9]+|[^\sA-Za-z_0-9
 
 def oracle_sql() -> dict[str, str]:
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in tx.STOPWORDS.items()}
+    # ASCII-only lowercase, the byte-exact twin of tx.ascii_lower (the
+    # engine avoids collation-aware lower(); see text.py)
+    lo = ("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+          "'abcdefghijklmnopqrstuvwxyz')")
     lang_scores = {
-        lang: f"len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ({words})))"
+        lang: f"len(list_filter(string_split_regex({lo}, '\\s+'), w -> w IN ({words})))"
         for lang, words in sw.items()
     }
     best = "greatest(" + ", ".join(lang_scores.values()) + ")"
@@ -541,9 +488,9 @@ def oracle_sql() -> dict[str, str]:
               THEN list_sum(list_transform(regexp_extract_all(text, '[^\s]+'), w -> length(w)))::DOUBLE
                    / len(regexp_extract_all(text, '[^\s]+'))
               ELSE 0.0 END, 6) AS mean_word_len,
-            round(CASE WHEN len(string_split_regex(lower(text), '\s+')) > 0
-              THEN len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN (""" + sw["en"] + r""")))::DOUBLE
-                   / len(string_split_regex(lower(text), '\s+'))
+            round(CASE WHEN len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) > 0
+              THEN len(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), w -> w IN (""" + sw["en"] + r""")))::DOUBLE
+                   / len(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'))
               ELSE 0.0 END, 6) AS stopword_en
             FROM documents"""
         ),
@@ -626,15 +573,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_distinct": "SELECT DISTINCT lang, source FROM documents",
         "events_json": (
             "SELECT event_type, count(*) AS n, "
-            "sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, "
             "max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k "
             "FROM events GROUP BY 1"
         ),
         "users_view_not_purchase": (
-            "SELECT DISTINCT user_id FROM ("
-            "SELECT user_id FROM events WHERE event_type = 'view' "
-            "EXCEPT ALL "
-            "SELECT user_id FROM events WHERE event_type = 'purchase')"
+            "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events "
+            "WHERE event_type = 'view' "
+            "EXCEPT "
+            "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events "
+            "WHERE event_type = 'purchase'"
         ),
         "embedding_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "

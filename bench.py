@@ -126,7 +126,7 @@ def main() -> None:
     out = {
         "metric": "files/sec end-to-end dedup throughput",
         "value": round(files_per_sec, 1),
-        "unit": "sec",
+        "unit": "files/sec",
         "queries": qtimes,
         "sf": _sf_of(SF_DIR),
         "n_files": N_FILES,
@@ -195,7 +195,7 @@ def dedup_only() -> None:
     out = {
         "metric": "files/sec end-to-end dedup throughput",
         "value": round(N_FILES / dedup_sec, 1),
-        "unit": "sec",
+        "unit": "files/sec",
         "queries": {"dedup_pipeline_e2e": round(dedup_sec, 3)},
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,

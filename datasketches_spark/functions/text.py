@@ -6,8 +6,20 @@ oracle (kept adjacent in __spark_entry__.py)."""
 
 from __future__ import annotations
 
+import string
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def ascii_lower(col: Column) -> Column:
+    """ASCII-only lowercase via ``translate`` — used instead of ``lower()``
+    in hot paths because Spark 4's collation-aware lowercase initializes
+    ICU4J on first task use (measured 40-80s one-time stall per JVM in this
+    environment: page-fault storm loading the memory-mapped ICU data).
+    Matching ASCII stopword lists is unaffected: A-Z map identically, and
+    no non-ASCII character can lowercase into an ASCII stopword."""
+    return F.translate(col, string.ascii_uppercase, string.ascii_lowercase)
 
 # whitespace tokens (word counting) and a BPE-ish subword regex
 WORD_RE = r"[^\s]+"
@@ -45,7 +57,7 @@ def mean_word_length(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
-    words = F.split(F.lower(col), r"\s+")
+    words = F.split(ascii_lower(col), r"\s+")
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
     return F.when(F.size(words) > 0, hits.cast("double") / F.size(words).cast("double")).otherwise(F.lit(0.0))
@@ -64,15 +76,20 @@ def quality_score(col: Column) -> Column:
 
 def language_id(col: Column) -> Column:
     """n-gram/stopword-heuristic language ID over STOPWORDS languages;
-    'und' (undetermined) when nothing matches."""
-    words = F.split(F.lower(col), r"\s+")
-    scores = []
-    for lang, sw_list in STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in sw_list])
-        scores.append((lang, F.size(F.filter(words, lambda w: F.array_contains(sw, w)))))
-    best = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    # reverse order => earlier languages win ties (deterministic)
-    for lang, s in reversed(scores):
-        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    'und' (undetermined) when nothing matches. Earlier languages win ties
+    (array_position returns the FIRST maximal score). One score array so
+    each per-language score subtree is evaluated once, instead of the
+    nested-CaseWhen form that re-derives `best` plus its own score in
+    every branch."""
+    words = F.split(ascii_lower(col), r"\s+")
+    langs = list(STOPWORDS)
+    scores = F.array(*[
+        F.size(F.filter(words, lambda w: F.array_contains(
+            F.array(*[F.lit(s) for s in STOPWORDS[lang]]), w)))
+        for lang in langs
+    ])
+    best = F.array_max(scores)
+    lang_arr = F.array(*[F.lit(lg) for lg in langs])
+    return F.when(
+        best > 0, F.element_at(lang_arr, F.array_position(scores, best).cast("int"))
+    ).otherwise(F.lit("und"))

@@ -5,12 +5,10 @@ the Apache DataSketches papers, fresh NumPy code):
 
 - ``binomial_lower/upper_bound``: /root/reference/ThetaCommon/BinomialBoundsN.cs:44-236
   (continuity-corrected classic Gaussian bounds for n > 120, exact binomial
-  tail series for small n, closed forms for n in {0, 1}).
-  DEVIATION (documented): the reference's EquivTables branch — used only when
-  n <= 120 AND theta < n/360 — is replaced by the continuity-corrected
-  Gaussian with the raw numSDev. That branch exists to tighten tail deltas
-  for tiny theta with few samples; the Gaussian is a conservative stand-in
-  and avoids transcribing a 246-value data table.
+  tail series for small n, closed forms for n in {0, 1}, and the
+  EquivTables branch for n <= 120 with theta < n/360: the Gaussian bound
+  evaluated at a table-adjusted z value that reproduces exact binomial
+  tails — constants in equiv_tables.py).
 
 - ``ratio_estimate/lower/upper``: the |B|/|A| machinery used for Jaccard
   estimation from theta sketches,
@@ -29,6 +27,8 @@ from __future__ import annotations
 import math
 
 import numpy as np
+
+from datasketches_spark.kernels.equiv_tables import LB_EQUIV, UB_EQUIV
 
 # delta = 0.5 * (1 + erf(-s / sqrt(2))) for s = 0..3  (BinomialBoundsN.cs:35-41)
 DELTA_OF_NUM_SDEV = (
@@ -96,8 +96,9 @@ def binomial_lower_bound(num_samples: int, theta: float, num_sdev: int, no_data_
     elif theta > 1.0 - 1e-5:
         lb = float(n)
     elif theta < n / 360.0:
-        # EquivTables corner replaced by Gaussian (see module docstring)
-        lb = _cont_classic_lb(n, theta, num_sdev) - 0.5
+        # tiny-theta corner: Gaussian bound at the table-adjusted z value
+        # (BinomialBoundsN.cs:141-148)
+        lb = _cont_classic_lb(n, theta, LB_EQUIV[3 * n + (num_sdev - 1)]) - 0.5
     else:
         lb = float(_special_n_star(n, theta, DELTA_OF_NUM_SDEV[num_sdev]))
     est = n / theta
@@ -119,7 +120,8 @@ def binomial_upper_bound(num_samples: int, theta: float, num_sdev: int, no_data_
     elif theta > 1.0 - 1e-5:
         ub = float(n + 1)
     elif theta < n / 360.0:
-        ub = _cont_classic_ub(n, theta, num_sdev) + 0.5
+        # tiny-theta corner (BinomialBoundsN.cs:178-185)
+        ub = _cont_classic_ub(n, theta, UB_EQUIV[3 * n + (num_sdev - 1)]) + 0.5
     else:
         ub = float(_special_n_prime_b(n + 1, theta, DELTA_OF_NUM_SDEV[num_sdev]))
     est = n / theta
@@ -136,56 +138,111 @@ def _check(num_samples, theta, num_sdev):
 
 
 # --------------------------------------------------------- ratio bounds
-# |B|/|A| for B ⊆ A, both sampled at rate f: approximate binomial
-# proportion bounds (BoundsOnBinomialProportions.cs:42-119) applied to
-# the sketched-set ratio (BoundsOnRatiosInSampledSets.cs:51-105).
+# |B|/|A| for B ⊆ A sampled at rate f: approximate Clopper-Pearson bounds
+# on the binomial proportion via Abramowitz & Stegun formula 26.5.22, with
+# exact closed forms for the k ∈ {0, 1, n-1, n} corners — a faithful
+# vectorized port of BoundsOnBinomialProportions.cs:42-200 applied through
+# BoundsOnRatiosInSampledSets.cs:51-123 (incl. the HackyAdjuster(f) z-value
+# widening) as the theta-set wrapper
+# BoundsOnRatiosInThetaSketchedSets.cs:45-103 prescribes.
+
+# A&S 7.1.28 erf approximation constants (BoundsOnBinomialProportions.cs
+# ErfOfNonneg) — used instead of math.erf so bound values match the
+# reference bit-for-bit at its ~7-digit accuracy
+_ERF_A = (0.0705230784, 0.0422820123, 0.0092705272,
+          0.0001520143, 0.0002765672, 0.0000430638)
+
+
+def _erf(x):
+    x = np.asarray(x, dtype=np.float64)
+    ax = np.abs(x)
+    s = 1.0 + sum(a * ax ** (i + 1) for i, a in enumerate(_ERF_A))
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    val = 1.0 - 1.0 / (s8 * s8)
+    return np.where(x < 0.0, -val, val)
 
 
 def _norm_cdf(x):
-    return 0.5 * (1.0 + np.vectorize(math.erf)(np.asarray(x, dtype=np.float64) / math.sqrt(2.0)))
+    return 0.5 * (1.0 + _erf(np.asarray(x, dtype=np.float64) / math.sqrt(2.0)))
 
 
-def _approx_std_devs(n, num_std_devs):
-    """Reference's HackyAdjuster: adds a small-n adjustment to the z value
-    (BoundsOnBinomialProportions.cs, approximateStandardDeviations)."""
-    n = np.asarray(n, dtype=np.float64)
-    return num_std_devs + (num_std_devs * num_std_devs - 1.0) / (6.0 * np.sqrt(np.maximum(n, 1.0)) * 4.0)
+def _delta_of_num_stdevs(kappa):
+    return _norm_cdf(-1.0 * np.asarray(kappa, dtype=np.float64))
 
 
-def proportion_lower_bound(n, k, num_std_devs: float):
-    """Approx LB on binomial proportion p given k successes of n trials.
-    Agresti-Coull / normal-approximation style with small-sample widening,
-    matching the reference's ApproximateLowerBoundOnP shape."""
-    n = np.asarray(n, dtype=np.float64)
-    k = np.asarray(k, dtype=np.float64)
-    out = np.zeros(np.broadcast(n, k).shape or (1,), dtype=np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        z = _approx_std_devs(n, num_std_devs)
-        center = (k + z * z / 2.0) / (n + z * z)
-        halfw = (z / (n + z * z)) * np.sqrt(np.maximum(k * (n - k) / np.maximum(n, 1.0) + z * z / 4.0, 0.0))
-        lb = np.clip(center - halfw, 0.0, 1.0)
-        out = np.where(n <= 0, 0.0, np.where(k <= 0, 0.0, np.where(k >= n, lb, lb)))
-    return out
+def _as_26_5_22(a, b, yp):
+    """Abramowitz & Stegun 26.5.22: approximate inverse of the incomplete
+    beta function I_x(a, b) = delta, delta given via the gaussian tail
+    z-value yp (BoundsOnBinomialProportions.cs AbramowitzStegunFormula26p5p22)."""
+    b2m1 = 2.0 * b - 1.0
+    a2m1 = 2.0 * a - 1.0
+    lam = (yp * yp - 3.0) / 6.0
+    h = 2.0 / (1.0 / a2m1 + 1.0 / b2m1)
+    w = (yp * np.sqrt(h + lam)) / h - (1.0 / b2m1 - 1.0 / a2m1) * (
+        lam + 5.0 / 6.0 - 2.0 / (3.0 * h))
+    return a / (a + b * np.exp(2.0 * w))
 
 
-def proportion_upper_bound(n, k, num_std_devs: float):
+def proportion_lower_bound(n, k, num_std_devs):
+    """ApproximateLowerBoundOnP: exact branches for k ∈ {0, 1, n}, A&S
+    26.5.22 otherwise (BoundsOnBinomialProportions.cs:43-54)."""
     n = np.asarray(n, dtype=np.float64)
     k = np.asarray(k, dtype=np.float64)
+    delta = _delta_of_num_stdevs(num_std_devs)
     with np.errstate(divide="ignore", invalid="ignore"):
-        z = _approx_std_devs(n, num_std_devs)
-        center = (k + z * z / 2.0) / (n + z * z)
-        halfw = (z / (n + z * z)) * np.sqrt(np.maximum(k * (n - k) / np.maximum(n, 1.0) + z * z / 4.0, 0.0))
-        ub = np.clip(center + halfw, 0.0, 1.0)
-    return np.where(n <= 0, 1.0, np.where(k >= n, 1.0, ub))
+        exact_k1 = 1.0 - np.power(1.0 - delta, 1.0 / np.maximum(n, 1.0))
+        exact_kn = np.power(delta, 1.0 / np.maximum(n, 1.0))
+        general = 1.0 - _as_26_5_22((n - k) + 1.0, np.maximum(k, 1.0),
+                                    -1.0 * np.asarray(num_std_devs, dtype=np.float64))
+    return np.where(
+        n == 0, 0.0,
+        np.where(k == 0, 0.0,
+                 np.where(k == 1, exact_k1,
+                          np.where(k == n, exact_kn, general))))
 
 
-def ratio_bounds(count_a, count_b_in_a, num_std_devs: float = 2.0):
-    """(estimate, lb, ub) of |B|/|A| given countA retained samples of A and
-    countB of them belonging to B (BoundsOnRatiosInThetaSketchedSets.cs:45-103)."""
+def proportion_upper_bound(n, k, num_std_devs):
+    """ApproximateUpperBoundOnP: exact branches for k ∈ {0, n-1, n}, A&S
+    26.5.22 otherwise (BoundsOnBinomialProportions.cs:64-81)."""
+    n = np.asarray(n, dtype=np.float64)
+    k = np.asarray(k, dtype=np.float64)
+    delta = _delta_of_num_stdevs(num_std_devs)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        exact_knm1 = np.power(1.0 - delta, 1.0 / np.maximum(n, 1.0))
+        exact_k0 = 1.0 - np.power(delta, 1.0 / np.maximum(n, 1.0))
+        general = 1.0 - _as_26_5_22(np.maximum(n - k, 1.0), k + 1.0,
+                                    np.asarray(num_std_devs, dtype=np.float64))
+    return np.where(
+        n == 0, 1.0,
+        np.where(k == n, 1.0,
+                 np.where(k == n - 1, exact_knm1,
+                          np.where(k == 0, exact_k0, general))))
+
+
+def _hacky_adjuster(f):
+    """Widens the 2-sigma z value for high inclusion probabilities
+    (BoundsOnRatiosInSampledSets.cs HackyAdjuster)."""
+    f = np.asarray(f, dtype=np.float64)
+    tmp = np.sqrt(1.0 - f)
+    return np.where(f <= 0.5, tmp, tmp + 0.01 * (f - 0.5))
+
+
+def ratio_bounds(count_a, count_b_in_a, f=1.0, num_std_devs: float = 2.0):
+    """(estimate, lb, ub) of |B|/|A| given countA retained samples of A,
+    countB of them in B, and inclusion probability f = theta/2^63
+    (BoundsOnRatiosInThetaSketchedSets.cs:45-103 →
+    BoundsOnRatiosInSampledSets.cs:51-123). f == 1.0 (exact mode) collapses
+    both bounds to the estimate, as the reference does."""
     a = np.asarray(count_a, dtype=np.float64)
     b = np.asarray(count_b_in_a, dtype=np.float64)
+    f = np.asarray(f, dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        est = np.where(a > 0, b / np.maximum(a, 1.0), 0.0)
-    lb = proportion_lower_bound(a, b, num_std_devs)
-    ub = proportion_upper_bound(a, b, num_std_devs)
+        est = np.where(a > 0, b / np.maximum(a, 1.0), 0.5)
+        z = num_std_devs * _hacky_adjuster(f)
+        lb = np.where(a == 0, 0.0,
+                      np.where(f == 1.0, est, proportion_lower_bound(a, b, z)))
+        ub = np.where(a == 0, 1.0,
+                      np.where(f == 1.0, est, proportion_upper_bound(a, b, z)))
     return est, lb, ub

@@ -144,6 +144,68 @@ def build(hashes: np.ndarray, k: int = DEFAULT_K, seed: int = DEFAULT_SEED,
     return _finalize(theta0, u, False, k, seed)
 
 
+def build_with_stats(hashes: np.ndarray, k: int = DEFAULT_K, seed: int = DEFAULT_SEED,
+                     p: float = 1.0) -> tuple[ThetaSketch, dict]:
+    """``build`` plus the vectorized analogue of the reference's per-update
+    return states (UpdateReturnState.cs:26-77): how many inputs were
+    rejected as reserved values, as duplicates, or as over-theta, and how
+    many were inserted. In a batch build these are set-level counts rather
+    than a per-call enum — the same information aggregated."""
+    theta0 = initial_theta(p)
+    h = np.asarray(hashes, dtype=np.uint64)
+    n_in = int(h.shape[0])
+    reserved = int(np.count_nonzero((h == 0) | (h == np.uint64(MAX_THETA_LONG))))
+    valid = h[(h > 0) & (h < np.uint64(MAX_THETA_LONG))]
+    over_sample = int(np.count_nonzero(valid >= np.uint64(theta0)))
+    survivors = np.unique(valid[valid < np.uint64(theta0)])
+    dups = int(valid.shape[0]) - over_sample - int(survivors.shape[0])
+    sk = build(h, k=k, seed=seed, p=p)
+    over_theta = int(survivors.shape[0]) - sk.count  # trimmed by pull-back
+    return sk, {
+        "n_input": n_in,
+        "rejected_reserved": reserved,
+        "rejected_duplicate": dups,
+        "rejected_over_sampling": over_sample,
+        "trimmed_over_theta": over_theta,
+        "inserted": sk.count,
+    }
+
+
+def preamble_to_string(data: bytes) -> str:
+    """Human-readable preamble dump of a compact sketch image — the
+    operability twin of the reference's PreambleToString
+    (PreambleUtil.cs:212-343)."""
+    if len(data) < 8:
+        return f"corrupt image: {len(data)} bytes"
+    pre_longs = data[0] & 0x3F
+    lg_rf = (data[0] >> 6) & 0x3
+    ser_ver, family, lg_nom, lg_arr, flags = data[1], data[2], data[3], data[4], data[5]
+    seed_hash = struct.unpack_from("<H", data, 6)[0]
+    flag_names = [name for bit, name in ((1, "BIG_ENDIAN"), (_READ_ONLY, "READ_ONLY"),
+                                         (_EMPTY, "EMPTY"), (_COMPACT, "COMPACT"),
+                                         (_ORDERED, "ORDERED"), (_SINGLEITEM, "SINGLEITEM"))
+                  if flags & bit]
+    lines = [
+        "### SKETCH IMAGE PREAMBLE:",
+        f"  preLongs            : {pre_longs}",
+        f"  lgResizeFactor      : {lg_rf}",
+        f"  serVer              : {ser_ver}",
+        f"  familyID            : {family}",
+        f"  lgNomLongs          : {lg_nom}",
+        f"  lgArrLongs          : {lg_arr}",
+        f"  flags               : {flags:#04x} ({'|'.join(flag_names) or 'none'})",
+        f"  seedHash            : {seed_hash:#06x}",
+    ]
+    if pre_longs >= 2 and not flags & _EMPTY and not flags & _SINGLEITEM and len(data) >= 16:
+        count = struct.unpack_from("<i", data, 8)[0]
+        lines.append(f"  curCount            : {count}")
+    if pre_longs >= 3 and len(data) >= 24:
+        theta = struct.unpack_from("<q", data, 16)[0]
+        lines.append(f"  thetaLong           : {theta} ({theta / LONG_MAX_DOUBLE:.6f})")
+    lines.append(f"  image bytes         : {len(data)}")
+    return "\n".join(lines)
+
+
 def _check_merge(a: ThetaSketch, b: ThetaSketch) -> None:
     if a.seed != b.seed:
         raise ValueError(f"seed mismatch: {a.seed} != {b.seed} (merge forbidden, UnionImpl.cs:242)")
@@ -214,7 +276,10 @@ def jaccard(a: ThetaSketch, b: ThetaSketch, k: int = DEFAULT_K, num_sdev: float 
     count_i = int(np.count_nonzero(i.entries < t))
     if count_u == 0:
         return (1.0, 1.0, 1.0) if (a.empty and b.empty) else (0.0, 0.0, 0.0)
-    est, lb, ub = _bounds.ratio_bounds(count_u, count_i, num_sdev)
+    # inclusion probability f = theta/2^63 drives the bound width
+    # (BoundsOnRatiosInThetaSketchedSets.cs:59,83: f = thetaLongB / 2^63-1)
+    f = theta / float(MAX_THETA_LONG)
+    est, lb, ub = _bounds.ratio_bounds(count_u, count_i, f, num_sdev)
     return float(lb), float(est), float(ub)
 
 
@@ -242,15 +307,66 @@ def serialize_compact(s: ThetaSketch) -> bytes:
     return pre + np.sort(s.entries).tobytes()
 
 
+def _heapify_1to3(data: bytes, seed: int) -> ThetaSketch:
+    """SerVer-1 (~Feb 2014) image → sketch (ForwardCompatibility.cs:44-87):
+    always 3 preamble longs, always compact+ordered, no p-sampling, no
+    empty bit, no seed hash (the caller's seed is trusted, as the
+    reference's API contract requires)."""
+    pre_longs = data[0] & 0x3F
+    if pre_longs != 3:
+        raise ValueError(f"PreLongs must be 3 for SerVer 1: {pre_longs}")
+    family = data[2]
+    if not 1 <= family <= 3:
+        raise ValueError(f"Family (Sketch Type) must be 1 to 3: {family}")
+    count = struct.unpack_from("<i", data, 8)[0]
+    theta = struct.unpack_from("<q", data, 16)[0]
+    if (count == 0 and theta == MAX_THETA_LONG) or len(data) <= 24:
+        return empty_sketch(seed)
+    if (count + pre_longs) * 8 > len(data):
+        raise ValueError("SerVer 1 image too small for its count")
+    entries = np.frombuffer(data, dtype="<u8", count=count, offset=24).copy()
+    return ThetaSketch(int(theta), entries, False, seed)
+
+
+def _heapify_2to3(data: bytes, seed: int) -> ThetaSketch:
+    """SerVer-2 image → sketch (ForwardCompatibility.cs:96-180): 1, 2 or 3
+    preamble longs, always compact+ordered."""
+    pre_longs = data[0] & 0x3F
+    family = data[2]
+    if not 1 <= family <= 4:
+        raise ValueError(f"Family (Sketch Type) must be 1 to 4: {family}")
+    if pre_longs == 1:
+        return empty_sketch(seed)
+    if pre_longs not in (2, 3):
+        raise ValueError(f"PreLongs must be 1, 2 or 3: {pre_longs}")
+    count = struct.unpack_from("<i", data, 8)[0]
+    theta = struct.unpack_from("<q", data, 16)[0] if pre_longs == 3 else MAX_THETA_LONG
+    if count == 0 and theta == MAX_THETA_LONG:
+        return empty_sketch(seed)
+    off = pre_longs * 8
+    if off + count * 8 > len(data):
+        raise ValueError("SerVer 2 image too small for its count")
+    entries = np.frombuffer(data, dtype="<u8", count=count, offset=off).copy()
+    return ThetaSketch(int(theta), entries, False, seed)
+
+
 def deserialize_compact(data: bytes, seed: int = DEFAULT_SEED) -> ThetaSketch:
-    """Heapify a SerVer-3 compact image (CompactSketch.cs:57-254), with the
-    reference's seed-hash validation."""
+    """Heapify a compact image: SerVer-3 natively (CompactSketch.cs:57-254)
+    with the reference's seed-hash validation; SerVer-1/2 up-converted on
+    read (ForwardCompatibility.cs:44-180). SerVer-4 (compressed delta) is
+    recognized-but-unsupported, exactly like the reference
+    (CompactSketch.cs:93-97)."""
     if len(data) < 8:
         raise ValueError("corrupt sketch image: < 8 bytes")
     pre_longs, ser_ver, family, _, _, flags, seed_hash = struct.unpack_from("<BBBBBBH", data, 0)
     pre_longs &= 0x3F
+    if ser_ver == 1:
+        return _heapify_1to3(data, seed)
+    if ser_ver == 2:
+        return _heapify_2to3(data, seed)
     if ser_ver != _SER_VER:
-        raise ValueError(f"unsupported serVer {ser_ver} (only SerVer 3 is interchange, SURVEY §1.3)")
+        raise ValueError(f"unsupported serVer {ser_ver} (SerVer 4 compressed images are "
+                         "recognized but not implemented, per CompactSketch.cs:93-97)")
     if family != _FAMILY_COMPACT:
         raise ValueError(f"not a compact sketch image: family {family}")
     if flags & _EMPTY:

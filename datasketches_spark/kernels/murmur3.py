@@ -204,3 +204,37 @@ def sketch_hash_bytes_vec(data: list[bytes], seed: int) -> np.ndarray:
     """Theta-domain hash of byte strings (UpdateSketch.cs:242)."""
     h1, _ = hash128_bytes_vec(data, seed)
     return h1 >> np.uint64(1)
+
+
+def hash128_ints_vec(data: list[np.ndarray], seed: int = 0):
+    """128-bit hash of int[] datums (the reference's Hash(int[]) overload,
+    MurmurHash3.cs:129-168). Ints pack little-endian into the same k1/k2
+    lanes as the byte[] path (GetLong, MurmurHash3.cs:444-452, packs
+    int[i] << 32*i — exactly the LE byte image), and length is counted in
+    bytes (lengthInts << 2), so the int[] hash equals the byte[] hash of
+    the array's LE image."""
+    return hash128_bytes_vec([np.ascontiguousarray(a, dtype="<u4").tobytes() for a in data], seed)
+
+
+def sketch_hash_ints_vec(data: list[np.ndarray], seed: int) -> np.ndarray:
+    """Theta-domain hash of int[] datums (UpdateSketch.cs:285-291)."""
+    h1, _ = hash128_ints_vec(data, seed)
+    return h1 >> np.uint64(1)
+
+
+def canonicalize_doubles(vals: np.ndarray) -> np.ndarray:
+    """Double-datum canonicalization before hashing (UpdateSketch.cs:219-220):
+    -0.0 → +0.0 and every NaN bit pattern collapsed to the canonical quiet
+    NaN, so equal-comparing doubles always sketch identically. Returns the
+    canonical IEEE-754 bit patterns as uint64 (the long[] datum image)."""
+    v = np.asarray(vals, dtype=np.float64).copy()
+    v[v == 0.0] = 0.0  # -0.0 == 0.0 compares true; assignment writes +0.0
+    v[np.isnan(v)] = np.float64("nan")  # single canonical NaN pattern
+    return v.view(np.uint64)
+
+
+def sketch_hash_doubles_vec(vals: np.ndarray, seed: int) -> np.ndarray:
+    """Theta-domain hash of double datums via the canonicalized long-bits
+    path (UpdateSketch.cs:217-222)."""
+    bits = canonicalize_doubles(vals).reshape(-1, 1)
+    return sketch_hash_longs_vec(bits, seed)

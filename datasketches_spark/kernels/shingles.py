@@ -28,8 +28,10 @@ import numpy as np
 from datasketches_spark.config import DEFAULT_SEED
 from datasketches_spark.kernels.murmur3 import hash128_bytes_vec, sketch_hash_longs_vec
 
-# identifiers/numbers, or any single non-space symbol glyph
-_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\d+|[^\sA-Za-z_0-9]")
+# identifiers/numbers, or any single non-space symbol glyph.
+# [0-9] (not \d) so non-ASCII digits tokenize byte-for-byte like the
+# Spark/DuckDB SQL twins below (Python \d is Unicode-aware; theirs is not).
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|[0-9]+|[^\sA-Za-z_0-9]")
 
 # The same tokenizer, expressible in ANSI SQL for oracle checks:
 # regexp_extract_all(text, '[A-Za-z_][A-Za-z_0-9]*|[0-9]+|[^\sA-Za-z_0-9]')

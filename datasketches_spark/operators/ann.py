@@ -85,6 +85,67 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
     return df.withColumn("bucket", bucket)
 
 
+def with_lsh_bucket_tables(df: DataFrame, dim: int, n_tables: int = 16,
+                           n_planes: int = 8, seed: int = DEFAULT_SEED,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """(id, table, bucket): one row per vector per hash table. Each table
+    keys on the sign bits of ``n_planes`` independent hyperplanes, so a pair
+    at cosine c collides in at least one table with probability
+    1 - (1 - p^r)^L where p = 1 - acos(c)/pi  (>= 0.9998 for c >= 0.95 at
+    r=8, L=16). Pure JVM column math; planes are plan literals."""
+    planes = hyperplanes(dim, n_tables * n_planes, seed)
+    table_cols = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t * n_planes + i]])
+            proj = _dot(F.col(vec_col), plane)
+            bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long"))
+        table_cols.append(bucket)
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*table_cols)).alias("table", "bucket")
+    )
+
+
+def cosine_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.95,
+                          n_tables: int = 16, n_planes: int = 8,
+                          seed: int = DEFAULT_SEED, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """All pairs (id_a < id_b, cosine >= threshold) via multi-table
+    hyperplane LSH: candidates come from an equi-join on (table, bucket) —
+    never a cross join — then each candidate is verified with the exact
+    cosine. At 10^9 vectors the candidate count is proportional to true
+    near-dups, not n²."""
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("v"),
+                         _norm(F.col(vec_col)).alias("nrm"))
+    buckets = with_lsh_bucket_tables(corpus, dim, n_tables, n_planes, seed,
+                                     vec_col, id_col)
+    a = buckets.select("table", "bucket", F.col(id_col).alias("id_a"))
+    b = buckets.select("table", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0),
+                 _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                 ).otherwise(F.lit(0.0))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                     n_planes: int = 12, seed: int = DEFAULT_SEED,
                     id_col: str = "vec_id", vec_col: str = "embedding",

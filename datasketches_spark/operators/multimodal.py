@@ -3,22 +3,24 @@ pipelines: opaque ``binary`` payloads + typed metadata, processed in
 Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side mechanics — schema, partitioning, UDF signatures, batch
-shapes — are real and tested. The codec calls themselves are STUBBED
-(this container ships no image/audio libraries): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (seeded by the payload bytes) produces stable
-pseudo-features so the distributed plumbing can be exercised end-to-end.
+shapes — are real and tested. Codecs: this container ships no image/audio
+libraries, so two trivial formats are decoded with pure NumPy — binary
+PPM/PGM (P6/P5) images and PCM-16 WAV audio — which makes ``fake=False`` a
+fully working branch end-to-end (decode → resize → feature-extract).
+Payloads in any other format fall back to a deterministic fake decoder
+when ``fake=True`` or raise ``NotImplementedError`` (clearly marked stub
+for real-world codecs like JPEG/MP3, which need external libraries).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType([
@@ -38,22 +40,140 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+# ------------------------------------------------------------ PPM / PGM
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → (H, W, C) uint8. Pure NumPy, handles
+    whitespace/comments per the netpbm spec."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    n = w * h * channels
+    img = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return img.reshape(h, w, channels)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (the pure-NumPy stand-in for a real resampler)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+# -------------------------------------------------------------- WAV PCM16
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) int16 → RIFF/WAVE PCM-16 payload."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 → ((n, ch) int16 samples, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM-16 supported: fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, n_ch), rate
+
+
+# ------------------------------------------------------------- features
+
+def image_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Deterministic image features: per-channel mean/std + a downsampled
+    grayscale grid filling the remaining dims, all in [0, 1]."""
+    imgf = img.astype(np.float32) / 255.0
+    stats = np.concatenate([imgf.mean(axis=(0, 1)), imgf.std(axis=(0, 1))])
+    grid_n = max(dim - stats.size, 0)
+    side = max(int(np.ceil(np.sqrt(grid_n))), 1)
+    gray = imgf.mean(axis=2) if imgf.ndim == 3 else imgf
+    grid = resize_nearest(gray, side, side).ravel()[:grid_n]
+    return np.concatenate([stats, grid])[:dim].astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = 64) -> np.ndarray:
+    """Deterministic audio features: RMS, zero-crossing rate, then
+    per-block energies over ``dim - 2`` equal time blocks."""
+    mono = samples.astype(np.float32).mean(axis=1) / 32768.0
+    rms = float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if mono.size > 1 else 0.0
+    n_blocks = max(dim - 2, 1)
+    blocks = np.array_split(mono, n_blocks) if mono.size else [np.zeros(1)] * n_blocks
+    energies = np.array([float(np.sqrt(np.mean(b**2))) if b.size else 0.0 for b in blocks])
+    return np.concatenate([[rms, zcr], energies])[:dim].astype(np.float32)
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a codec: features derived from the sha256
-    of the payload. Stable across machines/retries."""
+    """Deterministic stand-in for unsupported codecs: features derived from
+    the sha256 of the payload. Stable across machines/retries."""
     digest = hashlib.sha256(payload).digest()
     seed = int.from_bytes(digest[:8], "little")
     rng = np.random.Generator(np.random.Philox(key=seed, counter=[0, 0, 0, 0]))
     return rng.standard_normal(dim).astype(np.float32)
 
 
-def decode_image(payload: bytes, fake: bool = False, dim: int = 64) -> np.ndarray:
+def decode_features(payload: bytes, fake: bool = False, dim: int = 64) -> np.ndarray:
+    """Sniff the payload format and extract features: PPM/PGM and WAV PCM16
+    decode for real (pure NumPy); anything else uses the deterministic fake
+    decoder when ``fake=True`` or raises (honest stub — real-world codecs
+    need libraries this container does not ship)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return image_features(decode_ppm(payload), dim)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return audio_features(*decode_wav(payload), dim=dim)
     if fake:
         return _fake_decode(payload, dim)
     raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "container; pass fake=True to exercise the pipeline plumbing"
+        "unsupported media format: only PPM/PGM and WAV PCM16 decode without "
+        "external libraries; pass fake=True for deterministic stand-in features"
     )
+
+
+def decode_image(payload: bytes, fake: bool = False, dim: int = 64) -> np.ndarray:
+    """Back-compat alias for feature extraction from one payload."""
+    return decode_features(payload, fake=fake, dim=dim)
 
 
 def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
@@ -70,7 +190,7 @@ def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
             for payload in pdf["payload"]:
                 b = bytes(payload)
                 shas.append(hashlib.sha256(b).hexdigest())
-                feats.append(decode_image(b, fake=fake, dim=dim))
+                feats.append(decode_features(b, fake=fake, dim=dim))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -86,8 +206,9 @@ def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
 
 
 def synthetic_media(spark, n: int, seed: int = 42, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table for tests: payload bytes derived from
-    the id (binary column semantics are what matters, not the codec)."""
+    """Deterministic media table for tests: REAL encoded payloads — PPM
+    images (kind='image') or WAV PCM16 clips (kind='audio') — so the
+    fake=False decode branch is exercised end-to-end."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -95,8 +216,15 @@ def synthetic_media(spark, n: int, seed: int = 42, kind: str = "image") -> DataF
             for mid in pdf["id"]:
                 mid = int(mid)
                 rng = np.random.Generator(np.random.Philox(key=seed, counter=[mid, 1, 0, 0]))
-                payload = rng.integers(0, 256, int(64 + rng.integers(0, 192)), dtype=np.uint8).tobytes()
-                rows.append((mid, kind, f"{kind}/fake", payload, {"w": "64", "h": "64"}))
+                if kind == "audio":
+                    samples = (rng.standard_normal(int(800 + rng.integers(0, 800))) * 8000)
+                    payload = encode_wav_pcm16(samples.astype(np.int16), rate=16000)
+                    mime, meta = "audio/wav", {"rate": "16000"}
+                else:
+                    h, w = 8 + int(rng.integers(0, 8)), 8 + int(rng.integers(0, 8))
+                    payload = encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+                    mime, meta = "image/x-portable-pixmap", {"w": str(w), "h": str(h)}
+                rows.append((mid, kind, mime, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload", "meta"])
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)

@@ -45,12 +45,20 @@ def signature_schema(extra_passthrough: list[T.StructField] | None = None) -> T.
 
 
 def build_signatures(docs: DataFrame, cfg: DedupConfig,
-                     id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+                     id_col: str = "doc_id", content_col: str = "content",
+                     min_parallelism: int | None = None) -> DataFrame:
     """docs(doc_id, content, ...) → signatures table.
 
     Column pruning happens here deliberately: only (id, content) enter the
     Arrow channel, and content never leaves it — at 100 TB the signature
     table is ~3 orders of magnitude smaller than the input.
+
+    ``min_parallelism``: when the input arrives in fewer splits than this
+    (e.g. a standalone query reading one parquet file), repartition before
+    the Arrow stage so the compute-heavy signature build uses every core.
+    The checkpointed pipeline path leaves this unset — its input stage
+    already carries enough files, and an unconditional shuffle of the full
+    content column is exactly the scale mistake to avoid at 100 TB.
     """
     seed, ngram, num_perm, k = cfg.seed, cfg.ngram, cfg.num_perm, cfg.k
     schema = signature_schema()
@@ -89,11 +97,58 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
             })
 
     pruned = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
-    # parallelism of the Arrow stage follows input partitions (parquet
-    # splits); callers with pathologically few input files can repartition
-    # upstream. No repartition here — an unconditional shuffle of the full
-    # content column is exactly the scale mistake to avoid at 100 TB.
+    if min_parallelism and pruned.rdd.getNumPartitions() < min_parallelism:
+        pruned = pruned.repartition(min_parallelism)
     return pruned.mapInPandas(compute, schema)
+
+
+def kmv_distinct_by_group(df: DataFrame, group_col: str, value_col: str,
+                          cfg: DedupConfig, out_col: str = "distinct_est") -> DataFrame:
+    """Per-group KMV distinct estimate as a TWO-PHASE aggregation (the Spark
+    mapping of the reference Union gadget, UnionImpl.cs:232-281): phase 1
+    builds one partial sketch per (input partition, group) inside
+    ``mapInPandas`` — no shuffle, group state bounded by k — and phase 2
+    merges the tiny partials per group. A group with billions of rows never
+    materializes in one task (the single-phase ``groupBy.applyInPandas``
+    variant this replaces would hold the whole group in one pandas frame).
+    Exact mode (distinct <= k) returns exactly COUNT(DISTINCT)."""
+    from datasketches_spark.kernels.murmur3 import sketch_hash_longs_vec
+
+    seed, k = cfg.seed, cfg.k
+    group_field = df.schema[group_col]
+    part_schema = T.StructType([
+        T.StructField(group_col, group_field.dataType, False),
+        T.StructField("entries", T.ArrayType(T.LongType(), False), False),
+        T.StructField("theta", T.LongType(), False),
+    ])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {group_col: [], "entries": [], "theta": []}
+            for key, grp in pdf.groupby(group_col):
+                vals = grp[value_col].to_numpy().astype(np.int64).view(np.uint64).reshape(-1, 1)
+                sk = kmv.build(sketch_hash_longs_vec(vals, seed), k=k, seed=seed)
+                rows[group_col].append(key)
+                rows["entries"].append(sk.entries.view(np.int64))
+                rows["theta"].append(np.int64(np.uint64(sk.theta).view(np.int64)))
+            yield pd.DataFrame(rows)
+
+    final_schema = T.StructType([
+        T.StructField(group_col, group_field.dataType, False),
+        T.StructField(out_col, T.LongType(), False),
+    ])
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sketches = [
+            kmv.ThetaSketch(int(t), np.asarray(e, dtype=np.int64).view(np.uint64),
+                            empty=(len(e) == 0 and int(t) == kmv.MAX_THETA_LONG), seed=seed)
+            for e, t in zip(pdf["entries"], pdf["theta"])
+        ]
+        merged = kmv.union_many(sketches, k=k, seed=seed)
+        return pd.DataFrame({group_col: [key[0]], out_col: [int(round(merged.estimate()))]})
+
+    partials = df.select(group_col, value_col).mapInPandas(partial, part_schema)
+    return partials.groupBy(group_col).applyInPandas(final, final_schema)
 
 
 def merge_kmv_sketches(sig: DataFrame, group_cols: list[str], cfg: DedupConfig,

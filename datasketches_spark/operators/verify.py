@@ -81,3 +81,56 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
     if not keep_below_threshold:
         out = out.filter(F.col("jaccard_kmv") >= F.lit(cfg.jaccard_threshold))
     return out
+
+
+def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
+                                    sig: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Star-edge verification with a per-bucket pair fallback that closes
+    the false-positive-representative recall hole: if a bucket's rep r is an
+    LSH false positive, edges (r→x, r→y) both fail verification and the true
+    pair (x, y) would be lost even though all three shared a bucket. Any
+    bucket with a FAILED rep-edge is re-enumerated as full intra-bucket
+    pairs (bounded by cfg.bucket_cap) and those pairs verified too.
+
+    Cost is proportional to buckets containing a failed edge — on a clean
+    corpus the fallback branch is empty; adversarial buckets pay at most
+    cap² verifications. Returns (id_a < id_b, jaccard_kmv, jaccard_minhash)
+    at >= cfg.jaccard_threshold."""
+    eligible = stats.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap)
+    ).select("band", "bhash", "rep")
+    memb = bands.join(eligible, ["band", "bhash"])  # (band, bhash, doc_id, rep)
+    star = (
+        memb.filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    # materialize the verified star edges once: passed/failed/fb_pairs all
+    # reference this subtree, and Spark re-executes unshared subplans —
+    # without this the 2-join verify would run 3-4x. The table is tiny
+    # (one row per candidate edge), so localCheckpoint is one cheap job.
+    star_v = verify_pairs(star, sig, cfg, keep_below_threshold=True).localCheckpoint()
+    passed = star_v.filter(F.col("jaccard_kmv") >= F.lit(cfg.jaccard_threshold))
+    failed = star_v.filter(F.col("jaccard_kmv") < F.lit(cfg.jaccard_threshold))
+    bad_buckets = (
+        memb.join(
+            failed.select(F.col("id_a").alias("rep"), F.col("id_b").alias("doc_id")),
+            ["rep", "doc_id"],
+        )
+        .select("band", "bhash")
+        .distinct()
+    )
+    bb = memb.join(bad_buckets, ["band", "bhash"])
+    a = bb.select("band", "bhash", F.col("doc_id").alias("id_a"))
+    b = bb.select("band", "bhash", F.col("doc_id").alias("id_b"))
+    fb_pairs = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(passed.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    )
+    fb_v = verify_pairs(fb_pairs, sig, cfg)
+    return (
+        passed.unionByName(fb_v).dropDuplicates(["id_a", "id_b"])
+    )

@@ -31,7 +31,7 @@ from datasketches_spark.config import DedupConfig
 from datasketches_spark.operators import exact_dedup, lsh, verify
 from datasketches_spark.operators.connected_components import connected_components
 from datasketches_spark.operators.signatures import build_signatures
-from datasketches_spark.plans.checkpoints import CheckpointStore
+from datasketches_spark.plans.checkpoints import CheckpointStore, input_fingerprint
 
 
 @dataclass
@@ -47,7 +47,8 @@ class DedupResult:
 def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
               checkpoint_dir: str | None = None, id_col: str = "id",
               collect_metrics: bool = False) -> DedupResult:
-    store = CheckpointStore(spark, checkpoint_dir or "", cfg, enabled=bool(checkpoint_dir))
+    store = CheckpointStore(spark, checkpoint_dir or "", cfg, enabled=bool(checkpoint_dir),
+                            input_fp=input_fingerprint(docs))
     # without a checkpoint dir, persist the small intermediates so the
     # several terminal actions (clusters, pairs) don't re-run the heavy
     # signature stage; checkpointed stages already read back from parquet
@@ -102,15 +103,19 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         sig.count()
 
     bands = lsh.band_table(sig, cfg)
-    stats = store.stage("bucket_stats", lambda: lsh.bucket_stats(bands), upstream=["signatures"])
+    stats = store.stage(
+        "bucket_stats", lambda: lsh.bucket_stats(bands), upstream=["signatures"],
+        # dropped-bucket metric piggybacks on the write job (no count job)
+        extra_obs={"n_dropped_buckets":
+                   F.count(F.when(F.col("bucket_size") > cfg.bucket_cap, 1))},
+    )
 
-    cand_edges, dropped = lsh.candidate_edges(bands, cfg, stats)
+    _, dropped = lsh.candidate_edges(bands, cfg, stats)
     verified = store.stage(
         "verified_edges",
-        lambda: verify.verify_pairs(
-            cand_edges.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b"),
-            sig, cfg,
-        ),
+        # star edges + per-bucket pair fallback when a rep-edge fails
+        # verification (closes the false-positive-rep recall hole)
+        lambda: verify.verify_star_edges_with_fallback(bands, stats, sig, cfg),
         upstream=["signatures", "bucket_stats"],
     )
     if persist:
@@ -141,14 +146,24 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     )
 
     metrics = {"lsh_threshold": cfg.lsh_threshold}
-    if collect_metrics or checkpoint_dir:
+    if checkpoint_dir:
+        # stage-level row counts come from the manifests (recorded via
+        # Observation on each write job) — zero additional Spark jobs
+        metrics.update({
+            "n_docs": (store.manifest("docs_meta") or {}).get("n_rows"),
+            "n_distinct_content": (store.manifest("distinct_reps") or {}).get("n_rows"),
+            "n_verified_edges": (store.manifest("verified_edges") or {}).get("n_rows"),
+            "n_dropped_buckets": (store.manifest("bucket_stats") or {})
+            .get("observed", {}).get("n_dropped_buckets"),
+        })
+        store.write_metrics(metrics)
+    elif collect_metrics:
         metrics.update({
             "n_docs": hashed.count(),
             "n_distinct_content": reps.count(),
             "n_verified_edges": verified.count(),
             "n_dropped_buckets": dropped.count(),
         })
-        store.write_metrics(metrics)
     return DedupResult(
         docs=hashed.drop("content"),
         signatures=sig,

@@ -5,15 +5,24 @@ any stage is resumable mid-run. No Iceberg runtime jar ships in this
 sandbox (verified in SURVEY §7), so the layout is "Iceberg-shaped":
 one directory per stage table with
 
-    <root>/<stage>/data/            partitioned parquet
-    <root>/<stage>/manifest.json    config hash, upstream hashes, row count,
+    <root>/<stage>/data-<token>/    partitioned parquet (immutable once written)
+    <root>/<stage>/manifest.json    config hash, upstream manifest hashes,
+                                    input fingerprint, data dir, row count,
                                     schema, written timestamp
 
+Commit protocol (object-store safe): data is written to a fresh uniquely
+named directory, then the manifest — a SINGLE file naming that directory —
+is swapped in. The only operation that must be atomic is one small file
+write (a rename here; a PUT on S3/GCS), never a directory rename, which
+object stores cannot do. A killed run leaves at most an orphan data dir
+that the next successful commit garbage-collects.
+
 A stage is *resumed* (read, not recomputed) when its manifest exists and
-its ``config_hash`` + ``upstream`` chain match the current run — the same
-validity rule Iceberg snapshots give via snapshot lineage. Writes go to a
-temp dir and are atomically renamed, so a killed run never leaves a
-half-written stage that passes validation.
+(a) ``config_hash`` matches, (b) every upstream stage's CURRENT manifest
+hashes to the value recorded at write time (the chain is recursive: each
+upstream manifest covers its own upstream hashes), and (c) the recorded
+input fingerprint matches — so reusing a checkpoint root against different
+input data never silently resumes stale outputs.
 """
 
 from __future__ import annotations
@@ -23,10 +32,12 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import asdict
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from datasketches_spark.config import DedupConfig
 
@@ -36,79 +47,148 @@ def config_hash(cfg: DedupConfig, extra: dict | None = None) -> str:
     return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def input_fingerprint(df: DataFrame) -> str | None:
+    """Cheap deterministic fingerprint of a DataFrame's source data: the
+    sorted list of input files with sizes (no Spark job). Returns None for
+    purely in-memory inputs (createDataFrame), where no stable identity
+    exists — such runs always recompute from scratch on resume."""
+    files = sorted(df.inputFiles())
+    if not files:
+        return None
+    parts = []
+    for f in files:
+        path = f[7:] if f.startswith("file:") else f
+        try:
+            parts.append(f"{f}:{os.path.getsize(path)}")
+        except OSError:
+            parts.append(f)
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def _manifest_hash(mpath: str) -> str | None:
+    try:
+        with open(mpath, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+
+
 class CheckpointStore:
     def __init__(self, spark: SparkSession, root: str, cfg: DedupConfig,
-                 run_id: str = "run", enabled: bool = True):
+                 run_id: str = "run", enabled: bool = True,
+                 input_fp: str | None = None):
         self.spark = spark
         self.root = root
         self.cfg = cfg
         self.cfg_hash = config_hash(cfg)
         self.run_id = run_id
         self.enabled = enabled
+        self.input_fp = input_fp
         self.lineage: list[dict] = []
         if enabled:
             os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------- stages
 
-    def _paths(self, stage: str) -> tuple[str, str]:
-        d = os.path.join(self.root, stage)
-        return os.path.join(d, "data"), os.path.join(d, "manifest.json")
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "manifest.json")
+
+    def _read_manifest(self, stage: str) -> dict | None:
+        try:
+            with open(self._manifest_path(stage)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     def is_valid(self, stage: str, upstream: list[str]) -> bool:
-        _, mpath = self._paths(stage)
-        if not os.path.exists(mpath):
+        m = self._read_manifest(stage)
+        if m is None or m.get("config_hash") != self.cfg_hash:
             return False
-        with open(mpath) as f:
-            m = json.load(f)
-        return m.get("config_hash") == self.cfg_hash and m.get("upstream") == upstream
+        if sorted(m.get("upstream_hashes", {})) != sorted(upstream):
+            return False
+        # recursive chain: each upstream manifest must hash to the value
+        # recorded when this stage was written (its own hash covers ITS
+        # upstream hashes, so one level of comparison validates the chain)
+        for up, h in m.get("upstream_hashes", {}).items():
+            if _manifest_hash(self._manifest_path(up)) != h:
+                return False
+        if m.get("input_fingerprint") != self.input_fp:
+            return False
+        data_dir = os.path.join(self.root, stage, m.get("data_dir", ""))
+        return bool(m.get("data_dir")) and os.path.isdir(data_dir)
+
+    def manifest(self, stage: str) -> dict | None:
+        return self._read_manifest(stage)
 
     def stage(self, name: str, compute: Callable[[], DataFrame],
               upstream: list[str] | None = None,
               partition_by: list[str] | None = None,
-              min_partitions: int | None = None) -> DataFrame:
+              min_partitions: int | None = None,
+              extra_obs: dict | None = None) -> DataFrame:
         """Run (or resume) a stage. The returned DataFrame always reads from
         the checkpointed parquet, so downstream plans never re-execute
-        upstream stages."""
+        upstream stages.
+
+        ``extra_obs``: {name: aggregate Column} metrics to piggyback on the
+        write job (recorded under manifest["observed"]) — stage-level
+        metrics never cost their own Spark job."""
         upstream = upstream or []
         t0 = time.time()
         if not self.enabled:
             df = compute()
+            if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+                # same contract as the checkpointed path: a stage feeding a
+                # compute-heavy consumer must not pin it to one input split
+                df = df.repartition(min_partitions)
             self.lineage.append({"stage": name, "resumed": False, "checkpointed": False})
             return df
-        dpath, mpath = self._paths(name)
+        stage_dir = os.path.join(self.root, name)
+        mpath = self._manifest_path(name)
         if self.is_valid(name, upstream):
+            m = self._read_manifest(name)
             self.lineage.append({"stage": name, "resumed": True})
-            return self.spark.read.parquet(dpath)
+            return self.spark.read.parquet(os.path.join(stage_dir, m["data_dir"]))
         df = compute()
         if min_partitions:
             # AQE coalesces small shuffle outputs to very few partitions;
             # a checkpoint that feeds a compute-heavy downstream stage must
             # keep enough files for that stage's parallelism
             df = df.repartition(min_partitions)
-        tmp = dpath + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        writer = df.write.mode("overwrite")
+        token = f"data-{uuid.uuid4().hex[:8]}"
+        dpath = os.path.join(stage_dir, token)
+        # row count rides on the write job itself (Observation) — no
+        # read-back count job per stage (a 2x job-count tax at scale)
+        obs = Observation(f"ckpt_{name}")
+        obs_cols = [F.count(F.lit(1)).alias("n")]
+        for oname, ocol in (extra_obs or {}).items():
+            obs_cols.append(ocol.alias(oname))
+        writer = df.observe(obs, *obs_cols).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
-        out = self.spark.read.parquet(tmp)
-        n_rows = out.count()
+        writer.parquet(dpath)
+        observed = {k: (0 if v is None else v) for k, v in obs.get.items()}
+        n_rows = int(observed.pop("n"))
         manifest = {
             "stage": name,
             "config_hash": self.cfg_hash,
-            "upstream": upstream,
+            "upstream_hashes": {
+                up: _manifest_hash(self._manifest_path(up)) for up in upstream
+            },
+            "input_fingerprint": self.input_fp,
+            "data_dir": token,
             "run_id": self.run_id,
             "n_rows": n_rows,
-            "schema": out.schema.jsonValue(),
+            "observed": observed,
+            "schema": df.schema.jsonValue(),
             "written_at": time.time(),
         }
-        shutil.rmtree(dpath, ignore_errors=True)
-        os.makedirs(os.path.dirname(dpath), exist_ok=True)
-        os.rename(tmp, dpath)
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
-        os.rename(mpath + ".tmp", mpath)
+        os.rename(mpath + ".tmp", mpath)  # the single atomic commit op
+        # GC orphan data dirs from previous runs/crashes (best-effort)
+        for d in os.listdir(stage_dir):
+            if d.startswith("data-") and d != token:
+                shutil.rmtree(os.path.join(stage_dir, d), ignore_errors=True)
         entry = {"stage": name, "resumed": False, "n_rows": n_rows,
                  "wall_sec": round(time.time() - t0, 2)}
         self.lineage.append(entry)
