@@ -38,13 +38,13 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # pre-touch the (modest) heap through transparent huge pages at
-        # startup: heap growth during the run would otherwise fault fresh
-        # 4K pages continuously, which this environment serves ~1000x
-        # slower than warm memory (contended under many task threads)
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UseTransparentHugePages -XX:+AlwaysPreTouch -Djava.io.tmpdir=/tmp",
-        )
+        # NO TransparentHugePages / AlwaysPreTouch: measured CATASTROPHIC
+        # anti-scaling at high thread counts in this environment (pure-JVM
+        # sha256+groupBy on identical input: 2.3s at local[8] vs 116s at
+        # local[32] with THP+PreTouch; 1.7s at BOTH without). THP
+        # compaction/collapse work is billed as process-wide kernel time
+        # and serializes 32 task threads. The round-1 warm-heap rationale
+        # is superseded: plain 4K demand paging scales flat to 32 threads.
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
     return builder.getOrCreate()
