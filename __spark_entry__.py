@@ -234,7 +234,7 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 
     cfg = DedupConfig(jaccard_threshold=0.5)
     d = _read(spark, sf_dir, "documents").select(F.col("doc_id"), F.col("text").alias("content"))
-    sig = build_signatures(d, cfg, min_parallelism=spark.sparkContext.defaultParallelism)
+    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism)
     bands = lsh.band_table(sig, cfg)
     pairs = lsh.candidate_pairs_exact(bands, cfg)
     return verify.verify_pairs(pairs, sig, cfg)
@@ -245,8 +245,49 @@ def _q_simhash_fingerprints(spark, sf_dir):
     from datasketches_spark.operators.signatures import build_signatures
 
     d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    sig = build_signatures(d, CFG, min_parallelism=spark.sparkContext.defaultParallelism)
+    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism)
     return sig.select("doc_id", "simhash", "n_shingles")
+
+
+def _q_simhash_near_pairs(spark, sf_dir):
+    """SimHash-flavored near-dup pairs: 4-table 16-bit-chunk LSH over the
+    64-bit fingerprints (pigeonhole: Hamming <= 3 pairs always collide),
+    verified by exact Hamming distance via bit_count(xor) — all JVM-side
+    (rows-only; the fingerprint kernel is NumPy-oracle tested)."""
+    from datasketches_spark.operators import lsh
+    from datasketches_spark.operators.signatures import build_signatures
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    sh = sig.select("doc_id", "simhash")
+    bands = lsh.simhash_bands(sh, n_tables=4)
+    a = bands.select("band", "bhash", F.col("doc_id").alias("id_a"))
+    b = bands.select("band", "bhash", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bhash"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _q_lsh_bucket_histogram(spark, sf_dir):
+    """log2 histogram of LSH bucket sizes — the metrics input that drives
+    salt counts and bucket caps at scale (rows-only)."""
+    from datasketches_spark.operators import lsh
+    from datasketches_spark.operators.signatures import build_signatures
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    bands = lsh.band_table(sig, CFG)
+    return lsh.bucket_histogram(lsh.bucket_stats(bands))
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -427,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "lsh_bucket_histogram": _q_lsh_bucket_histogram,
         "dedup_clusters": _q_dedup_clusters,
         "lineitem_rollup": _q_lineitem_rollup,
         "customers_with_orders": _q_customers_with_orders,

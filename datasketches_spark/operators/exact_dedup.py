@@ -40,8 +40,11 @@ def exact_dup_edges(docs: DataFrame, groups: DataFrame | None = None) -> DataFra
 
 def distinct_content_docs(docs: DataFrame) -> DataFrame:
     """One representative per distinct content (the doc with min doc_id);
-    downstream sketching runs on these only. Window-free formulation: an
-    aggregate + self-join is cheaper than a row_number window over a hot
-    hash because min() combines map-side."""
-    reps = docs.groupBy("sha256").agg(F.min("doc_id").alias("doc_id"))
-    return docs.join(reps, ["sha256", "doc_id"])
+    downstream sketching runs on these only. Single-shuffle formulation:
+    min(doc_id) + first(content) in ONE aggregation — every row in a sha256
+    group carries byte-identical content (sha256 of the content IS the
+    group key), so first() is exact, and both aggregates combine map-side.
+    The previous agg + join-back shuffled the full content column twice."""
+    return docs.groupBy("sha256").agg(
+        F.min("doc_id").alias("doc_id"), F.first("content").alias("content")
+    )

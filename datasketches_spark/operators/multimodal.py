@@ -83,6 +83,66 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+# ----------------------------------------------------- multi-frame video
+# "video" for this engine's test path = concatenated binary PPM frames (a
+# motion-PPM stream, like netpbm's .ppm streams): real container parsing +
+# frame sampling without external codecs.
+
+def encode_ppm_video(frames: list[np.ndarray]) -> bytes:
+    """List of (H, W, 3) uint8 frames → concatenated-PPM stream."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def iter_ppm_frames(payload: bytes):
+    """Yield (offset-decoded) frames from a concatenated-PPM stream."""
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] not in (b"P6", b"P5"):
+            raise ValueError(f"bad frame magic at byte {pos}")
+        frame = decode_ppm(payload[pos:])
+        h, w, c = frame.shape
+        # recompute this frame's byte length: header ends after maxval ws
+        hdr_end = _ppm_header_end(payload, pos)
+        pos = hdr_end + h * w * c
+        yield frame
+
+
+def _ppm_header_end(payload: bytes, start: int) -> int:
+    pos, fields = start + 2, 0
+    while fields < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields += 1
+    return pos + 1
+
+
+def sample_frames(payload: bytes, every: int = 2, max_frames: int = 16) -> list[np.ndarray]:
+    """Frame sampling: every ``every``-th frame, capped at ``max_frames`` —
+    the decode/frame-sample step of a video ingestion pipeline."""
+    out = []
+    for i, frame in enumerate(iter_ppm_frames(payload)):
+        if i % every == 0:
+            out.append(frame)
+            if len(out) >= max_frames:
+                break
+    return out
+
+
+def video_features(payload: bytes, dim: int = 64, every: int = 2) -> np.ndarray:
+    """Mean of sampled-frame image features — deterministic video-level
+    embedding from the real decode path."""
+    frames = sample_frames(payload, every=every)
+    if not frames:
+        return np.zeros(dim, dtype=np.float32)
+    return np.mean([image_features(f, dim) for f in frames], axis=0).astype(np.float32)
+
+
 # -------------------------------------------------------------- WAV PCM16
 
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -160,7 +220,11 @@ def decode_features(payload: bytes, fake: bool = False, dim: int = 64) -> np.nda
     decoder when ``fake=True`` or raises (honest stub — real-world codecs
     need libraries this container does not ship)."""
     if payload[:2] in (b"P6", b"P5"):
-        return image_features(decode_ppm(payload), dim)
+        first = decode_ppm(payload)
+        h, w, c = first.shape
+        if _ppm_header_end(payload, 0) + h * w * c < len(payload):
+            return video_features(payload, dim)  # multi-frame PPM stream
+        return image_features(first, dim)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload), dim=dim)
     if fake:
@@ -220,6 +284,12 @@ def synthetic_media(spark, n: int, seed: int = 42, kind: str = "image") -> DataF
                     samples = (rng.standard_normal(int(800 + rng.integers(0, 800))) * 8000)
                     payload = encode_wav_pcm16(samples.astype(np.int16), rate=16000)
                     mime, meta = "audio/wav", {"rate": "16000"}
+                elif kind == "video":
+                    n_frames = 4 + int(rng.integers(0, 5))
+                    frames = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+                              for _ in range(n_frames)]
+                    payload = encode_ppm_video(frames)
+                    mime, meta = "video/x-motion-ppm", {"frames": str(n_frames)}
                 else:
                     h, w = 8 + int(rng.integers(0, 8)), 8 + int(rng.integers(0, 8))
                     payload = encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))

@@ -84,7 +84,8 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
 
 
 def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
-                                    sig: DataFrame, cfg: DedupConfig) -> DataFrame:
+                                    sig: DataFrame, cfg: DedupConfig,
+                                    broadcast_eligible: bool = False) -> DataFrame:
     """Star-edge verification with a per-bucket pair fallback that closes
     the false-positive-representative recall hole: if a bucket's rep r is an
     LSH false positive, edges (r→x, r→y) both fail verification and the true
@@ -99,6 +100,14 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     eligible = stats.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap)
     ).select("band", "bhash", "rep")
+    if broadcast_eligible:
+        # non-singleton buckets are usually a tiny fraction of all buckets;
+        # when the caller KNOWS the count is broadcastable (the pipeline
+        # reads it off the bucket_stats write-job Observation), hinting it
+        # turns candidate generation into a map-only pass over the bands —
+        # no shuffle of the 40x-corpus-sized band table. At true web scale
+        # the count is large and the caller leaves this off (shuffle join).
+        eligible = F.broadcast(eligible)
     memb = bands.join(eligible, ["band", "bhash"])  # (band, bhash, doc_id, rep)
     star = (
         memb.filter(F.col("doc_id") != F.col("rep"))
@@ -112,6 +121,9 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     star_v = verify_pairs(star, sig, cfg, keep_below_threshold=True).localCheckpoint()
     passed = star_v.filter(F.col("jaccard_kmv") >= F.lit(cfg.jaccard_threshold))
     failed = star_v.filter(F.col("jaccard_kmv") < F.lit(cfg.jaccard_threshold))
+    # bad_buckets is tiny (bounded by failed edges) — materialize it and
+    # broadcast into the bands re-scan, so the fallback costs one extra
+    # signature-table scan instead of two more bands+stats joins
     bad_buckets = (
         memb.join(
             failed.select(F.col("id_a").alias("rep"), F.col("id_b").alias("doc_id")),
@@ -119,8 +131,11 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
         )
         .select("band", "bhash")
         .distinct()
+        .localCheckpoint()
     )
-    bb = memb.join(bad_buckets, ["band", "bhash"])
+    # bad buckets are eligible by construction (came from memb), so the
+    # stats join is not needed again here
+    bb = bands.join(F.broadcast(bad_buckets), ["band", "bhash"])
     a = bb.select("band", "bhash", F.col("doc_id").alias("id_a"))
     b = bb.select("band", "bhash", F.col("doc_id").alias("id_b"))
     fb_pairs = (

@@ -77,13 +77,17 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         exact_edges.count()
 
     n_cores = spark.sparkContext.defaultParallelism
+    # 2x cores: a pandas stage task occupies a JVM thread AND a python
+    # worker, neither saturating a core alone — finer tasks pack the
+    # pair onto cores better and smooth stragglers (measured: 64 parts
+    # beat 32 by ~1.7x on 32 cores for signatures+write)
     reps = store.stage(
         "distinct_reps",
         lambda: exact_dedup.distinct_content_docs(exact_dedup.with_sha256(base)).select(
             "doc_id", "content"
         ),
         upstream=["docs_meta"],
-        min_partitions=n_cores,  # feeds the compute-heavy signature stage
+        min_partitions=2 * n_cores,  # feeds the compute-heavy signature stage
     )
 
     # no min_partitions here: the input checkpoint already carries n_cores
@@ -105,17 +109,29 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     bands = lsh.band_table(sig, cfg)
     stats = store.stage(
         "bucket_stats", lambda: lsh.bucket_stats(bands), upstream=["signatures"],
-        # dropped-bucket metric piggybacks on the write job (no count job)
-        extra_obs={"n_dropped_buckets":
-                   F.count(F.when(F.col("bucket_size") > cfg.bucket_cap, 1))},
+        # bucket metrics piggyback on the write job (no count jobs)
+        extra_obs={
+            "n_dropped_buckets":
+                F.count(F.when(F.col("bucket_size") > cfg.bucket_cap, 1)),
+            "n_eligible_buckets":
+                F.count(F.when((F.col("bucket_size") > 1)
+                               & (F.col("bucket_size") <= cfg.bucket_cap), 1)),
+        },
     )
+    # broadcast the eligible-bucket side of candidate generation when its
+    # observed count fits comfortably in memory (~48B/row); at web scale
+    # the count is huge and this stays a shuffle join
+    n_eligible = (store.manifest("bucket_stats") or {}).get(
+        "observed", {}).get("n_eligible_buckets")
+    bcast_eligible = n_eligible is not None and n_eligible * 48 < 256 * 1024 * 1024
 
     _, dropped = lsh.candidate_edges(bands, cfg, stats)
     verified = store.stage(
         "verified_edges",
         # star edges + per-bucket pair fallback when a rep-edge fails
         # verification (closes the false-positive-rep recall hole)
-        lambda: verify.verify_star_edges_with_fallback(bands, stats, sig, cfg),
+        lambda: verify.verify_star_edges_with_fallback(
+            bands, stats, sig, cfg, broadcast_eligible=bcast_eligible),
         upstream=["signatures", "bucket_stats"],
     )
     if persist:
@@ -132,10 +148,17 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         lambda: connected_components(all_edges),
         upstream=["verified_edges", "exact_groups"],
     )
-    clusters = (
-        hashed.select("doc_id")
-        .join(clusters_nontrivial, "doc_id", "left")
-        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    # the deliverable per-doc assignment table (singletons included) is
+    # itself a checkpointed stage: fully materialized, resumable, and its
+    # row count (== n_docs) rides the write job's Observation
+    clusters = store.stage(
+        "cluster_assignments",
+        lambda: (
+            hashed.select("doc_id")
+            .join(clusters_nontrivial, "doc_id", "left")
+            .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+        ),
+        upstream=["clusters", "docs_meta"],
     )
 
     # report pairs: verified near-dup edges plus exact-dup pairs (via reps)

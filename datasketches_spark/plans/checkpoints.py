@@ -149,10 +149,13 @@ class CheckpointStore:
             self.lineage.append({"stage": name, "resumed": True})
             return self.spark.read.parquet(os.path.join(stage_dir, m["data_dir"]))
         df = compute()
-        if min_partitions:
+        if min_partitions and df.rdd.getNumPartitions() < min_partitions:
             # AQE coalesces small shuffle outputs to very few partitions;
             # a checkpoint that feeds a compute-heavy downstream stage must
-            # keep enough files for that stage's parallelism
+            # keep enough files for that stage's parallelism. Conditional:
+            # when the plan already carries enough partitions (e.g. its
+            # final shuffle used 2x-cores shuffle partitions), repartition
+            # would re-shuffle the full content column for nothing.
             df = df.repartition(min_partitions)
         token = f"data-{uuid.uuid4().hex[:8]}"
         dpath = os.path.join(stage_dir, token)

@@ -16,7 +16,11 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # 2x cores: pandas-stage tasks each occupy a JVM thread + a python
+        # worker (neither saturates a core), and AQE coalesces any shuffle
+        # that ends up smaller — the cap costs nothing, the headroom packs
+        # mixed JVM/python stages onto cores better
+        shuffle_partitions = max(2 * cores, 16)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -441,3 +441,28 @@ def test_preamble_to_string():
     assert "thetaLong" in s
     e = kmv.preamble_to_string(kmv.serialize_compact(kmv.empty_sketch(CFG.seed)))
     assert "EMPTY" in e
+
+
+def test_video_frame_sampling():
+    from datasketches_spark.operators.multimodal import (
+        encode_ppm_video, iter_ppm_frames, sample_frames, video_features)
+
+    rng = np.random.Generator(np.random.Philox(key=21))
+    frames = [rng.integers(0, 256, (5, 7, 3), dtype=np.uint8) for _ in range(9)]
+    payload = encode_ppm_video(frames)
+    back = list(iter_ppm_frames(payload))
+    assert len(back) == 9
+    assert all(np.array_equal(a, b) for a, b in zip(back, frames))
+    sampled = sample_frames(payload, every=3)
+    assert len(sampled) == 3  # frames 0, 3, 6
+    assert np.array_equal(sampled[1], frames[3])
+    feat = video_features(payload, dim=12)
+    assert feat.shape == (12,) and feat.dtype == np.float32
+
+
+def test_video_media_through_spark(spark):
+    from datasketches_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 8, seed=5, kind="video")
+    rows = extract_features(media, dim=8, fake=False).collect()
+    assert len(rows) == 8 and all(len(r["feature"]) == 8 for r in rows)
