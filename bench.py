@@ -158,9 +158,20 @@ def scaling_probe() -> None:
     pair = (base, base * 4)
     results = {}
     loads = {}
+    gate = float(os.environ.get("BENCH_LOAD_GATE", "0"))
     for n in pair:
         best = None
         for _ in range(repeats):
+            if gate:
+                # wait out load-average decay from the previous leg and any
+                # external burst: every leg deserves the same quiet host
+                # (without this the 4N leg always starts in the 1-minute
+                # load shadow of the N leg that just finished)
+                deadline = time.time() + 900
+                while time.time() < deadline:
+                    if float(open("/proc/loadavg").read().split()[0]) < gate:
+                        break
+                    time.sleep(20)
             load0 = open("/proc/loadavg").read().split()[0]
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), BENCH_SCALING="0",
                        BENCH_MODE="dedup_only")

@@ -466,3 +466,21 @@ def test_video_media_through_spark(spark):
     media = synthetic_media(spark, 8, seed=5, kind="video")
     rows = extract_features(media, dim=8, fake=False).collect()
     assert len(rows) == 8 and all(len(r["feature"]) == 8 for r in rows)
+
+
+def test_simhash_near_pairs_finds_planted_dups(spark, tmp_path):
+    """Exact duplicates have identical SimHash (hamming 0) and must surface
+    through the 4-table chunk-LSH + bit_count verify path."""
+    import __spark_entry__ as entry_mod
+    from datasketches_spark.sources.corpus import generate_corpus
+
+    docs = generate_corpus(spark, 200, seed=42).select(
+        F.col("id").alias("doc_id"), F.col("content").alias("text"))
+    p = str(tmp_path / "documents.parquet")
+    docs.write.parquet(p)
+    out = entry_mod._q_simhash_near_pairs(spark, str(tmp_path))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    # roles 14/15 in each 20-id window are exact dups -> hamming 0
+    for gid in range(10):
+        a, b = gid * 20 + 14, gid * 20 + 15
+        assert pairs.get((a, b)) == 0, (a, b, pairs.get((a, b)))
