@@ -44,13 +44,17 @@ from datasketches_spark.kernels.murmur3 import hash128_longs
 LONG_MAX_DOUBLE = float(MAX_THETA_LONG)  # (double)long.MaxValue
 
 # flag masks (PreambleUtil.cs:166-171)
+_BIG_ENDIAN = 1
 _READ_ONLY = 2
 _EMPTY = 4
 _COMPACT = 8
 _ORDERED = 16
 _SINGLEITEM = 32
+_FAMILY_QUICKSELECT = 2  # Family.cs:150
 _FAMILY_COMPACT = 3
+_FAMILY_UNION = 4
 _SER_VER = 3
+_MIN_LG_NOM_LONGS = 4  # ThetaUtil.MIN_LG_NOM_LONGS
 
 
 def compute_seed_hash(seed: int) -> int:
@@ -245,7 +249,95 @@ def intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
     t = np.uint64(theta)
     both = np.intersect1d(a.entries, b.entries, assume_unique=True)
     both = both[both < t]
-    return ThetaSketch(theta, both, False, a.seed)
+    # exact-mode zero-match intersection degenerates to the empty sketch
+    # (IntersectionImpl.cs:377-381: curCount==0 && theta==MAX → empty=true)
+    empty = both.shape[0] == 0 and theta == MAX_THETA_LONG
+    return ThetaSketch(theta, both, empty, a.seed)
+
+
+class Intersection:
+    """Stateful theta Intersection (IntersectionImpl.cs:145-208, 400-412):
+    a virgin instance represents the UNIVERSAL set (curCount = -1) — the
+    identity element for folding a dynamic list of sketches — and raises on
+    ``get_result()`` with no intervening intersect (the infinite set is not
+    a legal result, IntersectionImpl.cs:239-244). ``has_result()`` mirrors
+    ``HasResult`` (curCount >= 0); ``reset()`` returns to virgin.
+
+    State machine (IntersectionImpl.cs:165-200 truth table):
+      1/2/3/6  curCount==0 or incoming count==0 → curCount=0, no entries
+      5        first intersect (virgin, incoming >0) → clone incoming
+      7        both >0 → match set, filtered below min-theta
+    The empty rule is OR (an empty input forces the empty state); the
+    theta rule is min."""
+
+    def __init__(self, seed: int = DEFAULT_SEED):
+        self.seed = seed
+        self._hard_reset()
+
+    def _hard_reset(self) -> None:
+        self._cur_count = -1  # Universal Set (IntersectionImpl.cs:403)
+        self._theta = MAX_THETA_LONG
+        self._empty = False
+        self._entries = np.empty(0, dtype=np.uint64)
+
+    def _reset_to_empty(self) -> None:
+        self._cur_count = 0
+        self._theta = MAX_THETA_LONG
+        self._empty = True
+        self._entries = np.empty(0, dtype=np.uint64)
+
+    def reset(self) -> None:
+        self._hard_reset()
+
+    def has_result(self) -> bool:
+        return self._cur_count >= 0
+
+    def intersect(self, s: ThetaSketch) -> "Intersection":
+        if s is None:
+            raise ValueError(
+                "Intersection argument must not be null (IntersectionImpl.cs:148)")
+        if self._empty or s.empty:
+            self._reset_to_empty()  # empty rule is OR
+            return self
+        if s.seed != self.seed:
+            raise ValueError(
+                f"seed mismatch: {s.seed} != {self.seed} (ThetaUtil.CheckSeedHashes)")
+        self._theta = min(self._theta, s.theta)  # theta rule
+        self._empty = False
+        n_in = s.count
+        if self._cur_count == 0 or n_in == 0:  # states 1,2,3,6
+            self._cur_count = 0
+            self._entries = np.empty(0, dtype=np.uint64)
+        elif self._cur_count < 0:  # state 5: first intersect, clone
+            self._entries = s.entries.copy()
+            self._cur_count = n_in
+        else:  # state 7: full intersect
+            t = np.uint64(self._theta)
+            matched = np.intersect1d(self._entries, s.entries, assume_unique=True)
+            matched = matched[matched < t]
+            self._entries = matched
+            self._cur_count = int(matched.shape[0])
+            if self._cur_count == 0 and self._theta == MAX_THETA_LONG:
+                self._empty = True  # IntersectionImpl.cs:377-381
+        return self
+
+    def get_result(self) -> ThetaSketch:
+        if self._cur_count < 0:
+            raise RuntimeError(
+                "Calling get_result() with no intervening intersections would "
+                "represent the infinite set, which is not a legal result "
+                "(IntersectionImpl.cs:239-244)")
+        return ThetaSketch(self._theta, self._entries.copy(), self._empty, self.seed)
+
+
+def intersect_many(sketches: list[ThetaSketch], seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """Fold a dynamic list of sketches through a stateful Intersection.
+    Raises on an empty list — intersection of zero sketches is the
+    universal set, which has no sketch representation."""
+    inter = Intersection(seed=seed)
+    for s in sketches:
+        inter.intersect(s)
+    return inter.get_result()
 
 
 def a_not_b(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
@@ -389,3 +481,106 @@ def deserialize_compact(data: bytes, seed: int = DEFAULT_SEED) -> ThetaSketch:
     entries = np.frombuffer(data, dtype="<u8", count=count, offset=off).copy()
     empty = count == 0 and theta == MAX_THETA_LONG
     return ThetaSketch(int(theta), entries, empty, seed)
+
+
+def _heapify_table(data: bytes, seed: int, family: int) -> ThetaSketch:
+    """Heapify a NON-compact hash-table image: QUICKSELECT update sketches
+    (HeapQuickSelectSketch.cs:81-119) and UNION gadgets (UnionImpl.cs:89-112).
+    The payload is an open-addressing table of 2^lgArrLongs longs (zeros =
+    free slots); the value set is identical to the compact form, so images
+    written by an existing DataSketches lake read straight into the
+    vectorized world. Integrity checks mirror UpdateSketch.CheckMemIntegrity
+    (UpdateSketch.cs:384-428)."""
+    pre_longs = data[0] & 0x3F
+    expect_pre = 4 if family == _FAMILY_UNION else 3  # Family.cs:150-151
+    if pre_longs != expect_pre:
+        raise ValueError(
+            f"Possible corruption: invalid PreambleLongs {pre_longs} for family {family} "
+            f"(expected {expect_pre}, UpdateSketch.cs:348-370)")
+    lg_nom, lg_arr, flags = data[3], data[4], data[5]
+    if lg_nom < _MIN_LG_NOM_LONGS:
+        raise ValueError(f"Possible corruption: lgNomLongs {lg_nom} < {_MIN_LG_NOM_LONGS}")
+    if flags & (_BIG_ENDIAN | _COMPACT | _ORDERED | _READ_ONLY):
+        raise ValueError(
+            "Possible corruption: update-family image cannot be big-endian, "
+            "compact, ordered, or read-only (UpdateSketch.cs:396-403)")
+    seed_hash = struct.unpack_from("<H", data, 6)[0]
+    expect = compute_seed_hash(seed)
+    if seed_hash != expect:
+        raise ValueError(f"seed hash mismatch: image {seed_hash:#x} != computed {expect:#x}")
+    if len(data) < pre_longs * 8 + (1 << lg_arr) * 8:
+        raise ValueError(
+            f"Possible corruption: image size {len(data)} < required "
+            f"{pre_longs * 8 + (1 << lg_arr) * 8} (UpdateSketch.cs:410-416)")
+    p = struct.unpack_from("<f", data, 12)[0]
+    theta = struct.unpack_from("<q", data, 16)[0]
+    if lg_arr <= lg_nom and theta / LONG_MAX_DOUBLE < p:
+        raise ValueError(
+            f"Possible corruption: theta < p while still resizing (UpdateSketch.cs:419-426)")
+    if flags & _EMPTY:
+        return empty_sketch(seed)
+    if family == _FAMILY_UNION:
+        # 4th preamble long = unionThetaLong; the effective theta is the
+        # min of gadget theta and union theta (UnionImpl.cs:165-184)
+        union_theta = struct.unpack_from("<q", data, 24)[0]
+        theta = min(theta, union_theta)
+    table = np.frombuffer(data, dtype="<u8", count=1 << lg_arr, offset=pre_longs * 8)
+    entries = np.sort(table[(table != 0) & (table < np.uint64(theta))])
+    if family == _FAMILY_UNION:
+        # Union GetResult applies the pull-back to nominal k (UnionImpl.cs:155-184)
+        return _finalize(int(theta), entries.copy(), False, 1 << lg_nom, seed)
+    # update-sketch Compact() keeps every valid entry — no pull-back
+    return ThetaSketch(int(theta), entries.copy(), False, seed)
+
+
+def heapify(data: bytes, seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """General heapify dispatching on the family byte: COMPACT images (and
+    SerVer-1/2 up-conversion) via ``deserialize_compact``; QUICKSELECT and
+    UNION hash-table images via ``_heapify_table`` (UpdateSketch.cs:100-124,
+    SetOperation-family reads). ALPHA is rejected exactly like the
+    reference (UpdateSketch.cs:115-121)."""
+    if len(data) < 8:
+        raise ValueError("corrupt sketch image: < 8 bytes")
+    ser_ver, family = data[1], data[2]
+    if ser_ver in (1, 2):
+        return deserialize_compact(data, seed)
+    if ser_ver != _SER_VER:
+        raise ValueError(f"unsupported serVer {ser_ver} (SerVer 4 compressed images are "
+                         "recognized but not implemented, per CompactSketch.cs:93-97)")
+    if family == _FAMILY_COMPACT:
+        return deserialize_compact(data, seed)
+    if family in (_FAMILY_QUICKSELECT, _FAMILY_UNION):
+        return _heapify_table(data, seed, family)
+    if family == 1:
+        raise ValueError("ALPHA family sketches not supported (UpdateSketch.cs:115-121)")
+    raise ValueError(f"cannot heapify family {family} as a theta sketch")
+
+
+def serialize_update(s: ThetaSketch, lg_nom: int | None = None,
+                     p: float = 1.0) -> bytes:
+    """Write a QUICKSELECT update-sketch image (the round-trip twin of
+    ``_heapify_table``; layout per HeapQuickSelectSketch/PreambleUtil):
+    3 preamble longs + an open-addressing table. Used to interoperate with
+    lakes that store update-sketch images, and by the round-trip tests."""
+    if lg_nom is None:
+        lg_nom = max(_MIN_LG_NOM_LONGS, int(np.ceil(np.log2(max(1, s.count)))))
+    # table sized like the reference: smallest power of two holding count
+    # at < 15/16 load, at least 2^(MIN_LG_NOM_LONGS+1)... minimum lgArr 5
+    lg_arr = max(lg_nom + 1, 5)
+    while (1 << lg_arr) * 15 // 16 < s.count:
+        lg_arr += 1
+    flags = _EMPTY if (s.empty and s.count == 0) else 0
+    pre = struct.pack(
+        "<BBBBBBHifq", 3, _SER_VER, _FAMILY_QUICKSELECT, lg_nom, lg_arr, flags,
+        compute_seed_hash(s.seed), s.count, p, s.theta)
+    table = np.zeros(1 << lg_arr, dtype=np.uint64)
+    if s.count:
+        # open-addressing layout is irrelevant to heapify (it reads the
+        # whole table); place entries at linear-probe slots of their low bits
+        mask = (1 << lg_arr) - 1
+        for h in s.entries:
+            idx = int(h) & mask
+            while table[idx] != 0:
+                idx = (idx + 1) & mask
+            table[idx] = h
+    return pre + table.tobytes()

@@ -16,6 +16,7 @@ murmur3-keyed Philox so every executor materializes identical planes."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -71,18 +72,48 @@ def hyperplanes(dim: int, n_planes: int, seed: int = DEFAULT_SEED) -> np.ndarray
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+# per-worker plane cache: regenerating from the seed on each executor keeps
+# the planes OUT of the plan and out of the task closure — at dim 1024 with
+# 16×8 planes, literal plane arrays were 130k+ expressions (codegen blowup)
+_PLANE_CACHE: dict = {}
+
+
+def _planes_cached(dim: int, n: int, seed: int) -> np.ndarray:
+    key = (dim, n, seed)
+    p = _PLANE_CACHE.get(key)
+    if p is None:
+        p = _PLANE_CACHE[key] = hyperplanes(dim, n, seed).T.copy()  # (dim, n)
+    return p
+
+
+def _bucket_udf(dim: int, n_tables: int, n_planes: int, seed: int):
+    """Arrow-batched scalar UDF: ONE matmul per batch computes the sign-bit
+    bucket keys of every table at once — plan size is O(1) in dim, and the
+    work is a vectorized (batch × dim) @ (dim × tables·planes) product
+    instead of tables·planes·dim codegen'd scalar expressions."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        P = _planes_cached(dim, n_tables * n_planes, seed)  # (dim, T*r)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(vecs.to_numpy()).astype(np.float64, copy=False)  # (n, dim)
+        bits = (V @ P) > 0
+        b = bits.reshape(len(vecs), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
                     seed: int = DEFAULT_SEED, vec_col: str = "embedding") -> DataFrame:
     """Adds ``bucket``: the sign-bit key of ``n_planes`` random-hyperplane
-    projections — computed with built-in array ops against literal plane
-    arrays (JVM-side; planes are tiny constants baked into the plan)."""
-    planes = hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
-        proj = _dot(F.col(vec_col), plane)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.withColumn("bucket", bucket)
+    projections, via the Arrow-batched matmul UDF (single table)."""
+    udf = _bucket_udf(dim, 1, n_planes, seed)
+    return df.withColumn("bucket", udf(F.col(vec_col)).getItem(0))
 
 
 def with_lsh_bucket_tables(df: DataFrame, dim: int, n_tables: int = 16,
@@ -93,19 +124,11 @@ def with_lsh_bucket_tables(df: DataFrame, dim: int, n_tables: int = 16,
     keys on the sign bits of ``n_planes`` independent hyperplanes, so a pair
     at cosine c collides in at least one table with probability
     1 - (1 - p^r)^L where p = 1 - acos(c)/pi  (>= 0.9998 for c >= 0.95 at
-    r=8, L=16). Pure JVM column math; planes are plan literals."""
-    planes = hyperplanes(dim, n_tables * n_planes, seed)
-    table_cols = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for i in range(n_planes):
-            plane = F.array(*[F.lit(float(v)) for v in planes[t * n_planes + i]])
-            proj = _dot(F.col(vec_col), plane)
-            bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
-                F.lit(0).cast("long"))
-        table_cols.append(bucket)
+    r=8, L=16). All tables' keys come from one Arrow-batched matmul per
+    batch (``_bucket_udf``); the plan stays bounded at any dim."""
+    udf = _bucket_udf(dim, n_tables, n_planes, seed)
     return df.select(
-        F.col(id_col), F.posexplode(F.array(*table_cols)).alias("table", "bucket")
+        F.col(id_col), F.posexplode(udf(F.col(vec_col))).alias("table", "bucket")
     )
 
 

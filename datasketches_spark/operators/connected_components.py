@@ -61,22 +61,36 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iterations: int = 25,
+                         reliable: bool = False) -> DataFrame:
     """edges(src, dst) → assignments(doc_id, cluster_id) where cluster_id
     is the minimum doc_id of the component. Nodes appearing in no edge are
     absent (callers union singletons back with cluster_id = doc_id).
 
-    One Spark job per round: the lazy localCheckpoint is materialized by
-    the checksum action itself, so a round costs a single job instead of a
-    checkpoint job + a checksum job."""
+    One Spark job per round: the lazy checkpoint is materialized by the
+    checksum action itself, so a round costs a single job instead of a
+    checkpoint job + a checksum job.
+
+    ``reliable=True`` truncates lineage with ``DataFrame.checkpoint``
+    (reliable storage at ``spark.sparkContext.setCheckpointDir`` — the
+    caller must have set it): on a preemptible multi-executor cluster,
+    ``localCheckpoint``'s executor-local blocks are lost with the executor
+    and FAIL the job rather than recompute. Keep the default (local) only
+    for single-process interactive queries."""
+    if reliable:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
     # small-star first: LSH/exact candidate edges are already star-shaped
     # (bucket rep → member), so the first small-star collapses most of the
     # graph before any large-star round runs.
-    cur = _small_star(edges).localCheckpoint(eager=False)
+    cur = _ckpt(_small_star(edges))
     prev_sig = _checksum(cur)
     converged = False
     for it in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        cur = _ckpt(_small_star(_large_star(cur)))
         # checksum every 2nd round after the first: each checksum action is
         # a whole Spark job (~0.5-1s fixed here); dedup graphs converge in
         # ~3 rounds, so checking at rounds 1, 3, 5... detects convergence
@@ -87,6 +101,15 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
                 converged = True
                 break
             prev_sig = sig
+    if not converged:
+        # the every-2nd-round schedule compares sig(it) vs sig(it-2); if
+        # convergence landed on the very last round, that final comparison
+        # spans a pre-convergence state. One extra consecutive-round check
+        # resolves it before declaring failure.
+        nxt = _ckpt(_small_star(_large_star(cur)))
+        if _checksum(nxt) == prev_sig:
+            converged = True
+            cur = nxt
     if not converged:
         raise RuntimeError(f"connected components did not converge in {max_iterations} rounds")
     # at convergence every edge is (member, root); roots also map to themselves

@@ -102,39 +102,62 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
     return pruned.mapInPandas(compute, schema)
 
 
-def kmv_distinct_by_group(df: DataFrame, group_col: str, value_col: str,
-                          cfg: DedupConfig, out_col: str = "distinct_est") -> DataFrame:
-    """Per-group KMV distinct estimate as a TWO-PHASE aggregation (the Spark
-    mapping of the reference Union gadget, UnionImpl.cs:232-281): phase 1
-    builds one partial sketch per (input partition, group) inside
-    ``mapInPandas`` — no shuffle, group state bounded by k — and phase 2
-    merges the tiny partials per group. A group with billions of rows never
-    materializes in one task (the single-phase ``groupBy.applyInPandas``
-    variant this replaces would hold the whole group in one pandas frame).
-    Exact mode (distinct <= k) returns exactly COUNT(DISTINCT)."""
+def kmv_group_partials(df: DataFrame, group_col: str, value_col: str,
+                       cfg: DedupConfig) -> DataFrame:
+    """Phase 1 of the two-phase per-group KMV aggregation: ONE partial
+    sketch per (input partition, group) via ``mapInPandas`` — no shuffle,
+    state bounded by k per group. Exposed so tests can pin the partial
+    count to n_partitions × n_groups (NOT n_arrow_batches × n_groups)."""
     from datasketches_spark.kernels.murmur3 import sketch_hash_longs_vec
 
     seed, k = cfg.seed, cfg.k
     group_field = df.schema[group_col]
     part_schema = T.StructType([
-        T.StructField(group_col, group_field.dataType, False),
+        T.StructField(group_col, group_field.dataType, group_field.nullable),
         T.StructField("entries", T.ArrayType(T.LongType(), False), False),
         T.StructField("theta", T.LongType(), False),
     ])
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE sketch per group per PARTITION, not per Arrow batch: partials
+        # accumulate across the whole batch iterator and are emitted once at
+        # iterator end — classic map-side combine. Partial row count scales
+        # with n_partitions × n_groups, independent of row count / batch
+        # size (at 10^12 rows, per-batch partials would re-create the
+        # single-task merge bottleneck ~5×10^8 rows wide).
+        acc: dict = {}
         for pdf in batches:
-            rows = {group_col: [], "entries": [], "theta": []}
-            for key, grp in pdf.groupby(group_col):
+            # dropna=False: SQL GROUP BY keeps the null group; pandas
+            # groupby silently drops it by default
+            for key, grp in pdf.groupby(group_col, dropna=False):
                 vals = grp[value_col].to_numpy().astype(np.int64).view(np.uint64).reshape(-1, 1)
                 sk = kmv.build(sketch_hash_longs_vec(vals, seed), k=k, seed=seed)
-                rows[group_col].append(key)
-                rows["entries"].append(sk.entries.view(np.int64))
-                rows["theta"].append(np.int64(np.uint64(sk.theta).view(np.int64)))
-            yield pd.DataFrame(rows)
+                prev = acc.get(key)
+                acc[key] = sk if prev is None else kmv.union(prev, sk, k=k)
+        if acc:
+            yield pd.DataFrame({
+                group_col: list(acc.keys()),
+                "entries": [s.entries.view(np.int64) for s in acc.values()],
+                "theta": [np.int64(np.uint64(s.theta).view(np.int64)) for s in acc.values()],
+            })
 
+    return df.select(group_col, value_col).mapInPandas(partial, part_schema)
+
+
+def kmv_distinct_by_group(df: DataFrame, group_col: str, value_col: str,
+                          cfg: DedupConfig, out_col: str = "distinct_est") -> DataFrame:
+    """Per-group KMV distinct estimate as a TWO-PHASE aggregation (the Spark
+    mapping of the reference Union gadget, UnionImpl.cs:232-281): phase 1
+    (``kmv_group_partials``) builds one partial sketch per (input
+    partition, group) — no shuffle, group state bounded by k, partial count
+    scaling with partitions, never with rows or Arrow batch size — and
+    phase 2 merges the tiny partials per group. A group with billions of
+    rows never materializes in one task. Exact mode (distinct <= k) returns
+    exactly COUNT(DISTINCT)."""
+    seed, k = cfg.seed, cfg.k
+    group_field = df.schema[group_col]
     final_schema = T.StructType([
-        T.StructField(group_col, group_field.dataType, False),
+        T.StructField(group_col, group_field.dataType, group_field.nullable),
         T.StructField(out_col, T.LongType(), False),
     ])
 
@@ -147,20 +170,55 @@ def kmv_distinct_by_group(df: DataFrame, group_col: str, value_col: str,
         merged = kmv.union_many(sketches, k=k, seed=seed)
         return pd.DataFrame({group_col: [key[0]], out_col: [int(round(merged.estimate()))]})
 
-    partials = df.select(group_col, value_col).mapInPandas(partial, part_schema)
+    partials = kmv_group_partials(df, group_col, value_col, cfg)
     return partials.groupBy(group_col).applyInPandas(final, final_schema)
 
 
 def merge_kmv_sketches(sig: DataFrame, group_cols: list[str], cfg: DedupConfig,
                        entries_col: str = "kmv_entries", theta_col: str = "kmv_theta") -> DataFrame:
-    """Distributed theta Union as a two-phase aggregation: per-partition
-    partial unions inside applyInPandas groups, final merge per key — the
-    Spark mapping of the reference's Union gadget (UnionImpl.cs:232-281).
-    Returns one merged sketch + distinct estimate per group.
+    """Distributed theta Union as a two-phase aggregation — the Spark
+    mapping of the reference's Union gadget (UnionImpl.cs:232-281):
+    phase 1 merges every sketch in a partition into ONE partial per
+    (partition, group) inside ``mapInPandas`` (map-side combine, no
+    shuffle, emitted once at batch-iterator end so the partial count scales
+    with partitions — not with rows or Arrow batch size); phase 2 merges
+    the tiny partials per key. Returns one merged sketch + distinct
+    estimate per group.
     """
     k, seed = cfg.k, cfg.seed
+    group_fields = [f for f in sig.schema.fields if f.name in group_cols]
+    part_schema = T.StructType(group_fields + [
+        T.StructField(entries_col, T.ArrayType(T.LongType(), False), False),
+        T.StructField(theta_col, T.LongType(), False),
+    ])
+
+    def precombine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(group_cols, dropna=False):
+                key_t = key if isinstance(key, tuple) else (key,)
+                sketches = [
+                    kmv.ThetaSketch(
+                        int(t), np.asarray(e, dtype=np.int64).view(np.uint64),
+                        empty=(len(e) == 0 and int(t) == kmv.MAX_THETA_LONG), seed=seed)
+                    for e, t in zip(grp[entries_col], grp[theta_col])
+                ]
+                merged = kmv.union_many(sketches, k=k, seed=seed)
+                prev = acc.get(key_t)
+                acc[key_t] = merged if prev is None else kmv.union(prev, merged, k=k)
+        if acc:
+            rows = {c: [] for c in group_cols}
+            rows[entries_col] = []
+            rows[theta_col] = []
+            for key_t, s in acc.items():
+                for c, v in zip(group_cols, key_t):
+                    rows[c].append(v)
+                rows[entries_col].append(s.entries.view(np.int64))
+                rows[theta_col].append(np.int64(np.uint64(s.theta).view(np.int64)))
+            yield pd.DataFrame(rows)
+
     out_schema = T.StructType(
-        [f for f in sig.schema.fields if f.name in group_cols]
+        group_fields
         + [
             T.StructField("kmv_entries", T.ArrayType(T.LongType(), False), False),
             T.StructField("kmv_theta", T.LongType(), False),
@@ -193,4 +251,6 @@ def merge_kmv_sketches(sig: DataFrame, group_cols: list[str], cfg: DedupConfig,
         })
         return pd.DataFrame(row)
 
-    return sig.groupBy(*group_cols).applyInPandas(merge, out_schema)
+    partials = sig.select(*group_cols, entries_col, theta_col).mapInPandas(
+        precombine, part_schema)
+    return partials.groupBy(*group_cols).applyInPandas(merge, out_schema)

@@ -85,7 +85,11 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
 
 def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
                                     sig: DataFrame, cfg: DedupConfig,
-                                    broadcast_eligible: bool = False) -> DataFrame:
+                                    broadcast_eligible: bool = False,
+                                    store=None,
+                                    store_upstream: list[str] | None = None,
+                                    bad_bucket_broadcast_max_bytes: int = 64 * 1024 * 1024,
+                                    ) -> DataFrame:
     """Star-edge verification with a per-bucket pair fallback that closes
     the false-positive-representative recall hole: if a bucket's rep r is an
     LSH false positive, edges (r→x, r→y) both fail verification and the true
@@ -96,7 +100,21 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     Cost is proportional to buckets containing a failed edge — on a clean
     corpus the fallback branch is empty; adversarial buckets pay at most
     cap² verifications. Returns (id_a < id_b, jaccard_kmv, jaccard_minhash)
-    at >= cfg.jaccard_threshold."""
+    at >= cfg.jaccard_threshold.
+
+    ``store``/``store_upstream``: when a CheckpointStore is active, the two
+    reused intermediates (verified star edges — one row per candidate edge,
+    billions at web scale — and the failed-rep bucket list) are
+    materialized as resumable checkpoint sub-stages instead of
+    ``localCheckpoint``: executor-local blocks are lost on executor death
+    and FAIL the job instead of recomputing, which on a preemptible
+    1000-executor cluster is a reliability bug. ``localCheckpoint`` remains
+    the store-less (interactive query) path."""
+    def _materialize(name: str, compute, upstream: list[str]):
+        if store is not None and getattr(store, "enabled", False):
+            return store.stage(name, compute, upstream=upstream)
+        return compute().localCheckpoint()
+
     eligible = stats.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap)
     ).select("band", "bhash", "rep")
@@ -116,26 +134,45 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     )
     # materialize the verified star edges once: passed/failed/fb_pairs all
     # reference this subtree, and Spark re-executes unshared subplans —
-    # without this the 2-join verify would run 3-4x. The table is tiny
-    # (one row per candidate edge), so localCheckpoint is one cheap job.
-    star_v = verify_pairs(star, sig, cfg, keep_below_threshold=True).localCheckpoint()
+    # without this the 2-join verify would run 3-4x.
+    ups = store_upstream or []
+    star_v = _materialize(
+        "star_verified",
+        lambda: verify_pairs(star, sig, cfg, keep_below_threshold=True),
+        upstream=ups,
+    )
     passed = star_v.filter(F.col("jaccard_kmv") >= F.lit(cfg.jaccard_threshold))
     failed = star_v.filter(F.col("jaccard_kmv") < F.lit(cfg.jaccard_threshold))
-    # bad_buckets is tiny (bounded by failed edges) — materialize it and
-    # broadcast into the bands re-scan, so the fallback costs one extra
-    # signature-table scan instead of two more bands+stats joins
-    bad_buckets = (
-        memb.join(
-            failed.select(F.col("id_a").alias("rep"), F.col("id_b").alias("doc_id")),
-            ["rep", "doc_id"],
-        )
-        .select("band", "bhash")
-        .distinct()
-        .localCheckpoint()
+    # bad_buckets is bounded by failed edges — materialize it so the
+    # fallback costs one extra signature-table scan instead of two more
+    # bands+stats joins
+    bad_buckets = _materialize(
+        "bad_buckets",
+        lambda: (
+            memb.join(
+                failed.select(F.col("id_a").alias("rep"), F.col("id_b").alias("doc_id")),
+                ["rep", "doc_id"],
+            )
+            .select("band", "bhash")
+            .distinct()
+        ),
+        upstream=ups + (["star_verified"] if store is not None
+                        and getattr(store, "enabled", False) else []),
     )
+    # broadcast bad_buckets into the bands re-scan ONLY when its measured
+    # row count fits (store path: free via the write-job Observation;
+    # store-less path: one cheap count over the materialized tiny table).
+    # An adversarial / boilerplate-heavy corpus makes the failed-rep set
+    # huge — an unguarded broadcast there is a driver OOM. ~24 B/row.
+    if store is not None and getattr(store, "enabled", False):
+        n_bad = (store.manifest("bad_buckets") or {}).get("n_rows")
+    else:
+        n_bad = bad_buckets.count()
+    bcast_ok = n_bad is not None and n_bad * 24 < bad_bucket_broadcast_max_bytes
     # bad buckets are eligible by construction (came from memb), so the
     # stats join is not needed again here
-    bb = bands.join(F.broadcast(bad_buckets), ["band", "bhash"])
+    bb = bands.join(F.broadcast(bad_buckets) if bcast_ok else bad_buckets,
+                    ["band", "bhash"])
     a = bb.select("band", "bhash", F.col("doc_id").alias("id_a"))
     b = bb.select("band", "bhash", F.col("doc_id").alias("id_b"))
     fb_pairs = (

@@ -129,9 +129,13 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     verified = store.stage(
         "verified_edges",
         # star edges + per-bucket pair fallback when a rep-edge fails
-        # verification (closes the false-positive-rep recall hole)
+        # verification (closes the false-positive-rep recall hole).
+        # The store rides inside: star_verified / bad_buckets become
+        # resumable sub-stages (reliable storage, not executor-local
+        # localCheckpoint blocks that fail the job on executor loss).
         lambda: verify.verify_star_edges_with_fallback(
-            bands, stats, sig, cfg, broadcast_eligible=bcast_eligible),
+            bands, stats, sig, cfg, broadcast_eligible=bcast_eligible,
+            store=store, store_upstream=["signatures", "bucket_stats"]),
         upstream=["signatures", "bucket_stats"],
     )
     if persist:
@@ -143,9 +147,16 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         .unionByName(exact_edges)
     )
 
+    if checkpoint_dir:
+        # CC rounds truncate lineage through RELIABLE checkpoints when a
+        # checkpoint root exists: executor-local blocks die with their
+        # executor (job failure, not recompute) under preemption
+        import os as _os
+        spark.sparkContext.setCheckpointDir(
+            _os.path.join(checkpoint_dir, "_spark_checkpoints"))
     clusters_nontrivial = store.stage(
         "clusters",
-        lambda: connected_components(all_edges),
+        lambda: connected_components(all_edges, reliable=bool(checkpoint_dir)),
         upstream=["verified_edges", "exact_groups"],
     )
     # the deliverable per-doc assignment table (singletons included) is

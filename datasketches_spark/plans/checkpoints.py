@@ -30,7 +30,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import asdict
@@ -40,11 +39,20 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from datasketches_spark.config import DedupConfig
+from datasketches_spark.plans.storefs import LocalBackend
 
 
 def config_hash(cfg: DedupConfig, extra: dict | None = None) -> str:
     payload = {"cfg": asdict(cfg), "extra": extra or {}}
     return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def _strip_file_scheme(f: str) -> str:
+    """file:///x, file:/x (Hadoop-normalized) and file://host/x all map to
+    a local path; anything else passes through untouched."""
+    if f.startswith("file:"):
+        return "/" + f.split(":", 1)[1].lstrip("/")
+    return f
 
 
 def input_fingerprint(df: DataFrame) -> str | None:
@@ -55,28 +63,37 @@ def input_fingerprint(df: DataFrame) -> str | None:
     files = sorted(df.inputFiles())
     if not files:
         return None
-    parts = []
+    # every file NAME is covered (already on the driver, no I/O), but sizes
+    # are stat'd for at most a deterministic sample: at millions of objects
+    # a per-file stat loop is a slow serial driver scan (and on an object
+    # store, a HEAD per key). The name list + count + sampled sizes still
+    # catch any same-name-different-data overwrite in the sample and any
+    # add/remove/rename anywhere.
+    max_stat = 1024
+    stride = max(1, len(files) // max_stat)
+    sampled = set(files[::stride])
+    parts = [f"n={len(files)}"]
     for f in files:
-        path = f[7:] if f.startswith("file:") else f
-        try:
-            parts.append(f"{f}:{os.path.getsize(path)}")
-        except OSError:
-            parts.append(f)
+        if f in sampled:
+            try:
+                parts.append(f"{f}:{os.path.getsize(_strip_file_scheme(f))}")
+                continue
+            except OSError:
+                pass
+        parts.append(f)
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
-def _manifest_hash(mpath: str) -> str | None:
-    try:
-        with open(mpath, "rb") as f:
-            return hashlib.sha256(f.read()).hexdigest()[:16]
-    except OSError:
-        return None
-
-
 class CheckpointStore:
+    """Every storage touch goes through ``self.fs`` (a ``storefs`` backend
+    exposing only object-store-shaped PUT/GET/LIST ops — no rename, no
+    isdir): the default ``LocalBackend`` maps them onto POSIX, and the
+    MemoryBackend fake in tests proves the protocol needs nothing more, so
+    an S3/GCS backend is one class away."""
+
     def __init__(self, spark: SparkSession, root: str, cfg: DedupConfig,
                  run_id: str = "run", enabled: bool = True,
-                 input_fp: str | None = None):
+                 input_fp: str | None = None, backend=None):
         self.spark = spark
         self.root = root
         self.cfg = cfg
@@ -86,21 +103,33 @@ class CheckpointStore:
         self.input_fp = input_fp
         self.lineage: list[dict] = []
         if enabled:
-            os.makedirs(root, exist_ok=True)
+            self.fs = backend if backend is not None else LocalBackend(root)
 
     # ------------------------------------------------------------- stages
 
-    def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self.root, stage, "manifest.json")
+    def _manifest_key(self, stage: str) -> str:
+        return f"{stage}/manifest.json"
+
+    def _manifest_hash(self, stage: str) -> str | None:
+        data = self.fs.get(self._manifest_key(stage))
+        return None if data is None else hashlib.sha256(data).hexdigest()[:16]
 
     def _read_manifest(self, stage: str) -> dict | None:
+        if not self.enabled:
+            return None
+        data = self.fs.get(self._manifest_key(stage))
+        if data is None:
+            return None
         try:
-            with open(self._manifest_path(stage)) as f:
-                return json.load(f)
-        except (OSError, ValueError):
+            return json.loads(data)
+        except ValueError:
             return None
 
     def is_valid(self, stage: str, upstream: list[str]) -> bool:
+        if self.input_fp is None:
+            # purely in-memory inputs (createDataFrame) have no stable
+            # identity — never resume a prior run's outputs against them
+            return False
         m = self._read_manifest(stage)
         if m is None or m.get("config_hash") != self.cfg_hash:
             return False
@@ -110,12 +139,12 @@ class CheckpointStore:
         # recorded when this stage was written (its own hash covers ITS
         # upstream hashes, so one level of comparison validates the chain)
         for up, h in m.get("upstream_hashes", {}).items():
-            if _manifest_hash(self._manifest_path(up)) != h:
+            if self._manifest_hash(up) != h:
                 return False
         if m.get("input_fingerprint") != self.input_fp:
             return False
-        data_dir = os.path.join(self.root, stage, m.get("data_dir", ""))
-        return bool(m.get("data_dir")) and os.path.isdir(data_dir)
+        return bool(m.get("data_dir")) and self.fs.exists_prefix(
+            f"{stage}/{m['data_dir']}")
 
     def manifest(self, stage: str) -> dict | None:
         return self._read_manifest(stage)
@@ -142,12 +171,11 @@ class CheckpointStore:
                 df = df.repartition(min_partitions)
             self.lineage.append({"stage": name, "resumed": False, "checkpointed": False})
             return df
-        stage_dir = os.path.join(self.root, name)
-        mpath = self._manifest_path(name)
         if self.is_valid(name, upstream):
             m = self._read_manifest(name)
             self.lineage.append({"stage": name, "resumed": True})
-            return self.spark.read.parquet(os.path.join(stage_dir, m["data_dir"]))
+            return self.spark.read.parquet(
+                self.fs.spark_path(f"{name}/{m['data_dir']}"))
         df = compute()
         if min_partitions and df.rdd.getNumPartitions() < min_partitions:
             # AQE coalesces small shuffle outputs to very few partitions;
@@ -158,7 +186,7 @@ class CheckpointStore:
             # would re-shuffle the full content column for nothing.
             df = df.repartition(min_partitions)
         token = f"data-{uuid.uuid4().hex[:8]}"
-        dpath = os.path.join(stage_dir, token)
+        dpath = self.fs.spark_path(f"{name}/{token}")
         # row count rides on the write job itself (Observation) — no
         # read-back count job per stage (a 2x job-count tax at scale)
         obs = Observation(f"ckpt_{name}")
@@ -174,9 +202,7 @@ class CheckpointStore:
         manifest = {
             "stage": name,
             "config_hash": self.cfg_hash,
-            "upstream_hashes": {
-                up: _manifest_hash(self._manifest_path(up)) for up in upstream
-            },
+            "upstream_hashes": {up: self._manifest_hash(up) for up in upstream},
             "input_fingerprint": self.input_fp,
             "data_dir": token,
             "run_id": self.run_id,
@@ -185,13 +211,14 @@ class CheckpointStore:
             "schema": df.schema.jsonValue(),
             "written_at": time.time(),
         }
-        with open(mpath + ".tmp", "w") as f:
-            json.dump(manifest, f)
-        os.rename(mpath + ".tmp", mpath)  # the single atomic commit op
-        # GC orphan data dirs from previous runs/crashes (best-effort)
-        for d in os.listdir(stage_dir):
-            if d.startswith("data-") and d != token:
-                shutil.rmtree(os.path.join(stage_dir, d), ignore_errors=True)
+        # the single atomic commit op: one object PUT
+        self.fs.put(self._manifest_key(name), json.dumps(manifest).encode())
+        # GC orphan data dirs from previous runs/crashes (best-effort):
+        # every key under the stage except the manifest and the live token
+        stale = {k.split("/")[1] for k in self.fs.list(name)
+                 if "/" in k and k.split("/")[1].startswith("data-")}
+        for d in stale - {token}:
+            self.fs.delete_prefix(f"{name}/{d}")
         entry = {"stage": name, "resumed": False, "n_rows": n_rows,
                  "wall_sec": round(time.time() - t0, 2)}
         self.lineage.append(entry)
@@ -204,8 +231,7 @@ class CheckpointStore:
     def write_metrics(self, metrics: dict) -> None:
         if not self.enabled:
             return
-        path = os.path.join(self.root, "metrics.json")
         record = {"run_id": self.run_id, "config_hash": self.cfg_hash,
                   "written_at": time.time(), "lineage": self.lineage, **metrics}
-        with open(path, "w") as f:
-            json.dump(record, f, indent=2, default=str)
+        self.fs.put("metrics.json",
+                    json.dumps(record, indent=2, default=str).encode())

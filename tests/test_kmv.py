@@ -108,7 +108,9 @@ def test_intersection_exact():
 def test_intersection_no_overlap():
     i = kmv.intersect(sk(0, 6), sk(100, 6))
     assert i.estimate() == 0.0
-    assert not i.empty  # degenerate, not empty: both inputs non-empty
+    # exact-mode zero-match collapses to empty (IntersectionImpl.cs:377-381:
+    # curCount==0 && theta==MAX → empty=true); round 2 had this inverted
+    assert i.empty
 
 
 def test_intersection_large_overlap_band():

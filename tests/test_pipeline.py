@@ -101,7 +101,15 @@ def test_singletons_stay_single(spark, corpus, result):
 
 def test_resume_from_checkpoint(spark, corpus, tmp_path_factory):
     """Second run over the same checkpoint dir resumes every stage and
-    produces identical outputs."""
+    produces identical outputs. The corpus goes through parquet first: only
+    file-backed inputs have a stable identity (input fingerprint) — an
+    in-memory DataFrame deliberately NEVER resumes (see
+    test_checkpoint_never_resumes_unfingerprintable_input)."""
+    import os
+
+    cpath = str(tmp_path_factory.mktemp("corpus_resume") / "docs")
+    corpus.write.mode("overwrite").parquet(cpath)
+    corpus = spark.read.parquet(cpath)
     ckpt = str(tmp_path_factory.mktemp("ckpt_resume"))
     r1 = run_dedup(spark, corpus, CFG, checkpoint_dir=ckpt)
     pairs1 = sorted((r["id_a"], r["id_b"]) for r in r1.dup_pairs.collect())
