@@ -235,6 +235,11 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     cfg = DedupConfig(jaccard_threshold=0.5)
     d = _read(spark, sf_dir, "documents").select(F.col("doc_id"), F.col("text").alias("content"))
     sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    # materialize the signature stage ONCE: the band table and both verify
+    # sides reference this subtree, which would otherwise run the Arrow
+    # stage 3x; the checkpoint also gives AQE real sizes, so the verify
+    # joins pick broadcast strategies instead of shuffling the wide arrays
+    sig = sig.localCheckpoint()
     bands = lsh.band_table(sig, cfg)
     pairs = lsh.candidate_pairs_exact(bands, cfg)
     return verify.verify_pairs(pairs, sig, cfg)
@@ -367,6 +372,27 @@ def _q_doc_source_distinct(spark, sf_dir):
     return _read(spark, sf_dir, "documents").select("lang", "source").distinct()
 
 
+def _q_span_dup_pairs(spark, sf_dir):
+    """Block-level duplicate pairs: winnowing-fingerprint candidates
+    (guaranteed to surface any shared run >= span_window + ngram - 1
+    tokens) verified by the exact longest-common-span kernel. Catches
+    copied blocks between documents whose whole-doc Jaccard is far below
+    threshold (rows-only; planted block-swap recall covered in
+    tests/test_round3.py)."""
+    from datasketches_spark.operators import spans
+    from datasketches_spark.operators.signatures import build_signatures
+
+    cfg = DedupConfig(span_pass=True, span_window=20, span_min_tokens=24)
+    d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
+    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    sig = sig.localCheckpoint()  # candidate-gen and span verify share it
+    cands, _dropped = spans.span_candidate_pairs(sig, cfg)
+    out = spans.verify_spans(cands, d, cfg).filter(
+        F.col("common_span_tokens") >= F.lit(cfg.span_min_tokens))
+    return out.select("id_a", "id_b", "common_span_tokens",
+                      F.round("containment", 6).alias("containment"))
+
+
 def _q_common_spans(spark, sf_dir):
     """Longest-common-token-span + containment for adjacent doc pairs —
     the suffix-array substring pass on a fixed pair set (rows-only; the
@@ -480,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "users_view_not_purchase": _q_users_view_not_purchase,
         "common_spans": _q_common_spans,
+        "span_dup_pairs": _q_span_dup_pairs,
         "salted_candidate_pairs": _q_salted_candidate_pairs,
         "kmv_serde_roundtrip": _q_kmv_serde_roundtrip,
         "multimodal_features": _q_multimodal_features,

@@ -33,6 +33,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_FILES = int(os.environ.get("BENCH_N_FILES", "40000"))
 
+# Memory/granularity sized to the DATA, identically at every parallelism
+# level: shuffle partitions that outgrow the heap spill and GC-thrash
+# (measured superlinear slowdown at 2M files with 32 partitions / 12g),
+# and a probe whose legs use different task granularities measures the
+# granularity, not the scaling.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(64, N_FILES // 15000)))
+
 
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))

@@ -54,6 +54,15 @@ class DedupConfig:
     bucket_cap: int = 256  # LSH buckets larger than this are sub-sampled + logged
     salt_partitions: int = 0  # 0 = auto from bucket histogram
     shuffle_partitions: int = 32
+    # common-span pass (winnowing fingerprints → shared-block pairs):
+    # detects blocks copied between otherwise-dissimilar documents, which
+    # whole-document Jaccard correctly scores far below threshold. Any
+    # shared run of >= span_window + ngram - 1 tokens is guaranteed to
+    # share a winnowed fingerprint (Schleimer et al. 2003).
+    span_pass: bool = False
+    span_window: int = 50  # winnowing window, in shingles
+    span_min_tokens: int = 50  # report pairs with a common span >= this
+    span_fp_cap: int = 16  # fingerprint buckets larger than this are boilerplate: dropped + logged
 
     def __post_init__(self) -> None:
         _check_k(self.k)

@@ -79,24 +79,45 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
     for single-process interactive queries."""
     if reliable:
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=False)
+            # persist first: the reliable-checkpoint job runs AFTER the
+            # first action and would otherwise recompute the round from
+            # lineage (the classic persist-before-checkpoint rule); with
+            # the cache it just copies blocks to reliable storage
+            return df.persist().checkpoint(eager=False)
     else:
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=False)
     # small-star first: LSH/exact candidate edges are already star-shaped
     # (bucket rep → member), so the first small-star collapses most of the
     # graph before any large-star round runs.
+    stale: list[DataFrame] = []
+
+    def _advance(new: DataFrame, old: DataFrame) -> DataFrame:
+        stale.append(old)
+        return new
+
+    def _drop_stale(keep: DataFrame) -> None:
+        # called right after an action materialized ``keep`` (and, through
+        # lazy lineage, every intermediate round): superseded rounds'
+        # caches — billions of edge rows at web scale — can go
+        if reliable:
+            for df in stale:
+                if df is not keep:
+                    df.unpersist()
+            stale.clear()
+
     cur = _ckpt(_small_star(edges))
     prev_sig = _checksum(cur)
     converged = False
     for it in range(max_iterations):
-        cur = _ckpt(_small_star(_large_star(cur)))
+        cur = _advance(_ckpt(_small_star(_large_star(cur))), cur)
         # checksum every 2nd round after the first: each checksum action is
         # a whole Spark job (~0.5-1s fixed here); dedup graphs converge in
         # ~3 rounds, so checking at rounds 1, 3, 5... detects convergence
         # at most one cheap extra round late while halving the job count
         if it % 2 == 0 or it == max_iterations - 1:
             sig = _checksum(cur)
+            _drop_stale(cur)
             if sig == prev_sig:
                 converged = True
                 break
@@ -106,8 +127,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
         # convergence landed on the very last round, that final comparison
         # spans a pre-convergence state. One extra consecutive-round check
         # resolves it before declaring failure.
-        nxt = _ckpt(_small_star(_large_star(cur)))
-        if _checksum(nxt) == prev_sig:
+        nxt = _advance(_ckpt(_small_star(_large_star(cur))), cur)
+        ok = _checksum(nxt) == prev_sig
+        _drop_stale(nxt)
+        if ok:
             converged = True
             cur = nxt
     if not converged:

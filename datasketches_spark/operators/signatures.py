@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datasketches_spark.config import DedupConfig
-from datasketches_spark.kernels import kmv, minhash, shingles, simhash
+from datasketches_spark.kernels import kmv, minhash, shingles, simhash, winnow
 
 SIGNATURE_FIELDS = [
     T.StructField("doc_id", T.LongType(), False),
@@ -37,6 +37,9 @@ SIGNATURE_FIELDS = [
     T.StructField("simhash", T.LongType(), False),
     T.StructField("kmv_entries", T.ArrayType(T.LongType(), False), False),
     T.StructField("kmv_theta", T.LongType(), False),
+    # winnowed fingerprints for the common-span pass: ~2/(span_window+1)
+    # of the positional shingle stream — a few longs per document
+    T.StructField("span_fps", T.ArrayType(T.LongType(), False), False),
 ]
 
 
@@ -61,6 +64,7 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
     content column is exactly the scale mistake to avoid at 100 TB.
     """
     seed, ngram, num_perm, k = cfg.seed, cfg.ngram, cfg.num_perm, cfg.k
+    span_w = cfg.span_window
     schema = signature_schema()
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -75,9 +79,12 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
             kmv_list, theta_list = [], np.empty(n, dtype=np.int64)
             n_tok = np.empty(n, dtype=np.int32)
             n_shg = np.empty(n, dtype=np.int32)
+            fp_list = []
             for i in range(n):
-                sset = np.unique(shingles.shingle_hashes(token_hashes[i], ngram, seed))
+                stream = shingles.shingle_hashes(token_hashes[i], ngram, seed)
+                sset = np.unique(stream)
                 shingle_sets.append(sset)
+                fp_list.append(winnow.winnow(stream, span_w).view(np.int64))
                 sk = kmv.build(sset, k=k, seed=seed)
                 kmv_list.append(sk.entries.view(np.int64))
                 theta_list[i] = np.int64(np.uint64(sk.theta).view(np.int64))
@@ -94,6 +101,7 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
                 "simhash": sh.view(np.int64),
                 "kmv_entries": kmv_list,
                 "kmv_theta": theta_list,
+                "span_fps": fp_list,
             })
 
     pruned = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))

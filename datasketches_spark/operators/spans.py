@@ -63,3 +63,33 @@ def verify_spans(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
             })
 
     return joined.mapInPandas(run, SPAN_SCHEMA)
+
+
+def span_candidate_pairs(sig: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs for the common-span pass from winnowed fingerprints
+    (``span_fps`` in the signature table): an equi-join of documents on
+    selected fingerprint values. Any pair sharing a token run of
+    >= span_window + ngram - 1 tokens shares a fingerprint by the
+    winnowing guarantee, so this is the recall-safe, shuffle-on-key
+    (skew-capped) scale path — never an all-pairs comparison.
+
+    Fingerprint buckets larger than ``cfg.span_fp_cap`` are boilerplate
+    (license headers, codegen preambles) and are dropped + returned for
+    logging, mirroring the LSH bucket cap. Buckets are tiny (<= cap), so
+    full intra-bucket pair enumeration is bounded by cap²/2 per bucket —
+    no star-edge approximation is needed, and pair-level recall inside a
+    bucket is exact."""
+    fps = sig.select("doc_id", F.explode("span_fps").alias("fp"))
+    stats = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
+    eligible = stats.filter((F.col("fp_df") > 1) & (F.col("fp_df") <= cfg.span_fp_cap))
+    dropped = stats.filter(F.col("fp_df") > cfg.span_fp_cap)
+    memb = fps.join(eligible, "fp")
+    a = memb.select("fp", F.col("doc_id").alias("id_a"))
+    b = memb.select("fp", F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs, dropped

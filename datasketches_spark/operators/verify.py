@@ -41,13 +41,23 @@ def _jaccard_cols(cfg: DedupConfig):
 
 def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
                  left_col: str = "id_a", right_col: str = "id_b",
-                 keep_below_threshold: bool = False) -> DataFrame:
+                 keep_below_threshold: bool = False,
+                 participants_hint: int | None = None,
+                 participant_broadcast_max: int = 4_000_000) -> DataFrame:
     """pairs(id_a, id_b) × signatures → (id_a, id_b, jaccard_kmv,
     jaccard_minhash) filtered at cfg.jaccard_threshold.
 
-    Two equi-joins against the signature table; at scale the pair list is
-    orders of magnitude smaller than the corpus, and AQE picks
-    broadcast/skew strategies per join at runtime.
+    Two equi-joins against the signature table. The signature rows are WIDE
+    (k=4096 KMV entries ≈ 32 KB each), so shuffling the whole table through
+    both joins moves ~2 × corpus-size × 32 KB — while the pair list usually
+    touches a small fraction of the corpus. When the caller knows an upper
+    bound on the number of participating doc ids (``participants_hint``,
+    e.g. the pair-table row count off a checkpoint Observation × 2) and it
+    is broadcastable, the wide table is first semi-filtered by a BROADCAST
+    of the participant ids — the signature table is then only scanned, never
+    shuffled at full width; the pair joins shuffle just the participating
+    rows. With no hint (or a too-large bound) the plain shuffle joins run
+    and AQE picks strategies at runtime.
     """
     s = sig.select(
         F.col("doc_id"),
@@ -55,6 +65,13 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
         F.col("kmv_entries"),
         F.col("kmv_theta"),
     )
+    if participants_hint is not None and participants_hint <= participant_broadcast_max:
+        ids = (
+            pairs.select(F.col(left_col).alias("doc_id"))
+            .unionByName(pairs.select(F.col(right_col).alias("doc_id")))
+            .distinct()
+        )
+        s = s.join(F.broadcast(ids), "doc_id", "left_semi")
     a = s.select(
         F.col("doc_id").alias(left_col),
         F.col("minhash").alias("mh_a"),
@@ -115,6 +132,16 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
             return store.stage(name, compute, upstream=upstream)
         return compute().localCheckpoint()
 
+    def _n_rows(name: str, df: DataFrame) -> int:
+        """Row count of a materialized table: free off the write-job
+        Observation in the store path; one cheap count over the already-
+        materialized (tiny) localCheckpoint otherwise."""
+        if store is not None and getattr(store, "enabled", False):
+            n = (store.manifest(name) or {}).get("n_rows")
+            if n is not None:
+                return int(n)
+        return df.count()
+
     eligible = stats.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap)
     ).select("band", "bhash", "rep")
@@ -127,19 +154,33 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
         # the count is large and the caller leaves this off (shuffle join).
         eligible = F.broadcast(eligible)
     memb = bands.join(eligible, ["band", "bhash"])  # (band, bhash, doc_id, rep)
-    star = (
-        memb.filter(F.col("doc_id") != F.col("rep"))
-        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
-        .distinct()
+    # materialize the RAW star edges first (3 longs per row — tiny): the
+    # verify subtree then consumes a materialized table instead of
+    # re-running candidate generation per consumer, and the edge count
+    # (free off the write Observation) bounds the participant-id set so
+    # verify_pairs can broadcast-semi-filter the wide signature table
+    # instead of shuffling every 32 KB row through two joins.
+    ups = store_upstream or []
+    star = _materialize(
+        "star_edges",
+        lambda: (
+            memb.filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+            .distinct()
+        ),
+        upstream=ups,
     )
+    n_star = _n_rows("star_edges", star)
+    star_ups = ups + (["star_edges"] if store is not None
+                      and getattr(store, "enabled", False) else [])
     # materialize the verified star edges once: passed/failed/fb_pairs all
     # reference this subtree, and Spark re-executes unshared subplans —
     # without this the 2-join verify would run 3-4x.
-    ups = store_upstream or []
     star_v = _materialize(
         "star_verified",
-        lambda: verify_pairs(star, sig, cfg, keep_below_threshold=True),
-        upstream=ups,
+        lambda: verify_pairs(star, sig, cfg, keep_below_threshold=True,
+                             participants_hint=2 * n_star),
+        upstream=star_ups,
     )
     passed = star_v.filter(F.col("jaccard_kmv") >= F.lit(cfg.jaccard_threshold))
     failed = star_v.filter(F.col("jaccard_kmv") < F.lit(cfg.jaccard_threshold))
@@ -175,14 +216,21 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
                     ["band", "bhash"])
     a = bb.select("band", "bhash", F.col("doc_id").alias("id_a"))
     b = bb.select("band", "bhash", F.col("doc_id").alias("id_b"))
-    fb_pairs = (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-        .join(passed.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    fb_pairs = _materialize(
+        "fb_pairs",
+        lambda: (
+            a.join(b, ["band", "bhash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .join(passed.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        ),
+        upstream=ups + (["star_verified", "bad_buckets"]
+                        if store is not None and getattr(store, "enabled", False)
+                        else []),
     )
-    fb_v = verify_pairs(fb_pairs, sig, cfg)
+    n_fb = _n_rows("fb_pairs", fb_pairs)
+    fb_v = verify_pairs(fb_pairs, sig, cfg, participants_hint=2 * n_fb)
     return (
         passed.unionByName(fb_v).dropDuplicates(["id_a", "id_b"])
     )

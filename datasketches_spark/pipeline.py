@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datasketches_spark.config import DedupConfig
-from datasketches_spark.operators import exact_dedup, lsh, verify
+from datasketches_spark.operators import exact_dedup, lsh, spans, verify
 from datasketches_spark.operators.connected_components import connected_components
 from datasketches_spark.operators.signatures import build_signatures
 from datasketches_spark.plans.checkpoints import CheckpointStore, input_fingerprint
@@ -42,6 +42,7 @@ class DedupResult:
     clusters: DataFrame  # doc_id, cluster_id (every doc, singletons included)
     dup_pairs: DataFrame  # id_a < id_b with jaccard estimates
     metrics: dict
+    span_pairs: DataFrame | None = None  # kind='span' block-dup pairs (cfg.span_pass)
 
 
 def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
@@ -172,11 +173,37 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         upstream=["clusters", "docs_meta"],
     )
 
+    # optional common-span pass (cfg.span_pass): winnowed-fingerprint
+    # candidates → exact longest-common-span verification. Catches
+    # block-swap / embedded-block duplicates whose whole-document Jaccard
+    # is correctly far below threshold (a 60-token block in an otherwise
+    # unique file has J ~ |block|/|doc| and never LSH-collides). Runs on
+    # distinct content only; reported as kind='span' pairs, NOT fed to CC
+    # (a shared block must not merge otherwise-unrelated documents into
+    # one cluster).
+    span_verified = None
+    if cfg.span_pass:
+        span_cands = store.stage(
+            "span_candidates",
+            lambda: spans.span_candidate_pairs(sig, cfg)[0].join(
+                verified.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"),
+            upstream=["signatures", "verified_edges"],
+        )
+        span_verified = store.stage(
+            "span_pairs",
+            lambda: spans.verify_spans(span_cands, reps, cfg).filter(
+                F.col("common_span_tokens") >= F.lit(cfg.span_min_tokens)),
+            upstream=["span_candidates", "distinct_reps"],
+        )
+        if persist:
+            span_verified = span_verified.persist()
+
     # report pairs: verified near-dup edges plus exact-dup pairs (via reps)
     dup_pairs = store.stage(
         "dup_pairs",
-        lambda: _expand_pairs(verified, exact_edges),
-        upstream=["verified_edges", "exact_groups"],
+        lambda: _expand_pairs(verified, exact_edges, span_verified),
+        upstream=["verified_edges", "exact_groups"]
+        + (["span_pairs"] if cfg.span_pass else []),
     )
 
     metrics = {"lsh_threshold": cfg.lsh_threshold}
@@ -205,10 +232,12 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         clusters=clusters,
         dup_pairs=dup_pairs,
         metrics=metrics,
+        span_pairs=span_verified,
     )
 
 
-def _expand_pairs(verified: DataFrame, exact_edges: DataFrame) -> DataFrame:
+def _expand_pairs(verified: DataFrame, exact_edges: DataFrame,
+                  span_verified: DataFrame | None = None) -> DataFrame:
     exact_pairs = exact_edges.select(
         F.least("src", "dst").alias("id_a"),
         F.greatest("src", "dst").alias("id_b"),
@@ -223,4 +252,22 @@ def _expand_pairs(verified: DataFrame, exact_edges: DataFrame) -> DataFrame:
         "jaccard_minhash",
         F.lit("near").alias("kind"),
     )
-    return near_pairs.unionByName(exact_pairs).dropDuplicates(["id_a", "id_b"])
+    out = near_pairs.unionByName(exact_pairs)
+    if span_verified is not None:
+        # span pairs carry no sketch-Jaccard estimates (their whole-doc
+        # Jaccard is legitimately below threshold — that is the point);
+        # the span evidence itself travels in two extra columns
+        span_pairs = span_verified.select(
+            "id_a", "id_b",
+            F.lit(None).cast("double").alias("jaccard_kmv"),
+            F.lit(None).cast("double").alias("jaccard_minhash"),
+            F.lit("span").alias("kind"),
+            "common_span_tokens",
+            "containment",
+        )
+        out = (
+            out.withColumn("common_span_tokens", F.lit(None).cast("int"))
+            .withColumn("containment", F.lit(None).cast("double"))
+            .unionByName(span_pairs)
+        )
+    return out.dropDuplicates(["id_a", "id_b"])

@@ -15,12 +15,23 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
               shuffle_partitions: int | None = None, driver_mem: str = "12g") -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", driver_mem)
     if shuffle_partitions is None:
-        # 2x cores: pandas-stage tasks each occupy a JVM thread + a python
-        # worker (neither saturates a core), and AQE coalesces any shuffle
-        # that ends up smaller — the cap costs nothing, the headroom packs
-        # mixed JVM/python stages onto cores better
-        shuffle_partitions = max(2 * cores, 16)
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            # explicit override: shuffle task count must track DATA size,
+            # not core count — partitions that outgrow the heap spill and
+            # GC-thrash; too many tiny ones are job overhead. AQE coalesces
+            # downward, so oversizing is the safe direction. Benches pin
+            # this identically across parallelism levels so every probe leg
+            # sees the same task granularity (as a real cluster would).
+            shuffle_partitions = int(env_sp)
+        else:
+            # 2x cores: pandas-stage tasks each occupy a JVM thread + a python
+            # worker (neither saturates a core), and AQE coalesces any shuffle
+            # that ends up smaller — the cap costs nothing, the headroom packs
+            # mixed JVM/python stages onto cores better
+            shuffle_partitions = max(2 * cores, 16)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

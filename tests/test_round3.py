@@ -520,3 +520,86 @@ def test_local_backend_put_is_atomic_no_partial_manifest(tmp_path):
     assert not be.exists_prefix("nope")
     be.delete_prefix("stage")
     assert not be.exists_prefix("stage")
+
+
+# ---------------------------------------------- common-span pipeline pass
+
+def test_winnow_guarantee_shared_run():
+    """Winnowing guarantee: any shared token run of >= w + ngram - 1 tokens
+    yields a shared selected fingerprint — for ANY placement of the run."""
+    from datasketches_spark.kernels import shingles, winnow
+
+    rng = np.random.Generator(np.random.Philox(key=99))
+    w, ngram = 50, 5
+    block = [f"blk{i}" for i in range(w + ngram - 1)]  # exactly at the bound
+    for trial in range(5):
+        a_body = [f"a{trial}_{i}" for i in range(200)]
+        b_body = [f"b{trial}_{i}" for i in range(300)]
+        pa = int(rng.integers(0, 200))
+        pb = int(rng.integers(0, 300))
+        ta = a_body[:pa] + block + a_body[pa:]
+        tb = b_body[:pb] + block + b_body[pb:]
+        fa, fb = [
+            winnow.winnow(
+                shingles.shingle_hashes(shingles.hash_tokens_batch([t], SEED)[0], ngram, SEED),
+                w,
+            )
+            for t in (ta, tb)
+        ]
+        assert np.intersect1d(fa, fb).size > 0, f"trial {trial}: no shared fingerprint"
+    # and two unrelated docs share nothing
+    f1 = winnow.winnow(
+        shingles.shingle_hashes(shingles.hash_tokens_batch([["x%d" % i for i in range(300)]], SEED)[0], 5, SEED), w)
+    f2 = winnow.winnow(
+        shingles.shingle_hashes(shingles.hash_tokens_batch([["y%d" % i for i in range(300)]], SEED)[0], 5, SEED), w)
+    assert np.intersect1d(f1, f2).size == 0
+
+
+def test_winnow_short_and_empty_docs():
+    from datasketches_spark.kernels import winnow
+
+    assert winnow.winnow(np.empty(0, dtype=np.uint64), 50).size == 0
+    short = np.array([7, 3, 9], dtype=np.uint64)
+    got = winnow.winnow(short, 50)
+    assert got.tolist() == [3]
+
+
+def test_pipeline_span_pass_finds_planted_block_swaps(spark, tmp_path):
+    """The corpus plants block-swap duplicates (role 18: a 60-token block of
+    the gid base inside a unique body). Whole-document Jaccard correctly
+    rejects them (J ~ 60/|doc|) — the span pass must find every
+    (base_rep, block_swap) pair via winnowed fingerprints, with the exact
+    common span >= the planted block length."""
+    from datasketches_spark.config import DedupConfig
+    from datasketches_spark.pipeline import run_dedup
+    from datasketches_spark.sources.corpus import generate_corpus
+
+    n = 400
+    cfg = DedupConfig(span_pass=True)
+    docs = generate_corpus(spark, n, seed=7)
+    path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(path)
+    res = run_dedup(spark, spark.read.parquet(path), cfg,
+                    checkpoint_dir=str(tmp_path / "ckpt"))
+    pairs = res.dup_pairs.collect()
+    by_kind = {}
+    for r in pairs:
+        by_kind.setdefault(r["kind"], set()).add((r["id_a"], r["id_b"]))
+    # role 14 is the distinct-content rep of the {14,15} exact group;
+    # role 18 embeds base[:60] — every gid must produce the span pair
+    expected = {(g * 20 + 14, g * 20 + 18) for g in range(n // 20)}
+    span_found = by_kind.get("span", set())
+    missing = expected - span_found
+    assert not missing, f"span pass missed planted block swaps: {sorted(missing)[:5]}"
+    # these pairs are NOT findable by whole-document near-dup verification
+    assert not (expected & by_kind.get("near", set()))
+    # span rows carry the evidence columns
+    span_rows = [r for r in pairs if r["kind"] == "span"]
+    assert all(r["common_span_tokens"] >= cfg.span_min_tokens for r in span_rows)
+    assert all(r["jaccard_kmv"] is None for r in span_rows)
+    # disabled by default: no span stage, no span pairs
+    res2 = run_dedup(spark, spark.read.parquet(path), DedupConfig(),
+                     checkpoint_dir=str(tmp_path / "ckpt2"))
+    kinds2 = {r["kind"] for r in res2.dup_pairs.select("kind").distinct().collect()}
+    assert "span" not in kinds2
+    assert res2.span_pairs is None
