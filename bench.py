@@ -245,6 +245,9 @@ def scaling_probe() -> None:
     ref_pair = (8, 32) if os.environ.get("BENCH_SCALE_REF", "1") == "1" else None
     if ref_pair:
         legs += [n for n in ref_pair if n not in legs]
+    # extra single-measurement reference levels, e.g. BENCH_SCALE_EXTRA=4,16
+    extra = [int(x) for x in os.environ.get("BENCH_SCALE_EXTRA", "").split(",") if x]
+    legs += [n for n in extra if n not in legs]
     results, loads = {}, {}
     for n in legs:
         # the reference pair gets fewer repeats: it documents the
@@ -272,17 +275,20 @@ def scaling_probe() -> None:
         f"scaling efficiency = files/sec@{pair[1]} / (4 x files/sec@{pair[0]}) = "
         f"**{eff:.3f}** (target >= 0.8)\n"
     )
-    if ref_pair and all(n in results for n in ref_pair):
-        reff = results[ref_pair[1]]["value"] / (4.0 * results[ref_pair[0]]["value"])
-        section += (
-            f"\nReference pair local[{ref_pair[0]}] vs local[{ref_pair[1]}] (driver-prescribed;"
-            f" local[{ref_pair[1]}] is 2x\noversubscribed on this 32-core host):"
-            f" efficiency = **{reff:.3f}**\n")
+    for lo, hi, label in [(ref_pair[0], ref_pair[1],
+                           "driver-prescribed; the large leg is 2x oversubscribed "
+                           "on this 32-core host") if ref_pair else (0, 0, ""),
+                          (4, 16, "additional reference")]:
+        if lo and lo in results and hi in results and (lo, hi) != pair:
+            e = results[hi]["value"] / (4.0 * results[lo]["value"])
+            section += (f"\nReference pair local[{lo}] vs local[{hi}] ({label}):"
+                        f" efficiency = **{e:.3f}**\n")
     _update_probe_section(section)
     out = {"scaling_efficiency": round(eff, 3),
            f"files_per_sec_{pair[0]}": f_lo, f"files_per_sec_{pair[1]}": f_hi}
     if ref_pair and all(n in results for n in ref_pair):
-        out["scaling_efficiency_8_32"] = round(reff, 3)
+        out["scaling_efficiency_8_32"] = round(
+            results[32]["value"] / (4.0 * results[8]["value"]), 3)
         out["files_per_sec_8"] = results[8]["value"]
         out["files_per_sec_32"] = results[32]["value"]
     print(json.dumps(out))
