@@ -61,6 +61,14 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
         # and serializes 32 task threads. The round-1 warm-heap rationale
         # is superseded: plain 4K demand paging scales flat to 32 threads.
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # Hadoop parquet vectored IO degenerates on the local filesystem:
+        # observed a single CC-stage task burning 18+ CPU-minutes inside
+        # RawLocalFileSystem$AsyncHandler.initiateRead / VectorIOBufferPool
+        # buffer churn reading a small checkpoint table (jstack-verified).
+        # Vectored reads exist for high-latency object stores; on local
+        # disk/tmpfs the classic positional reader has none of the range-
+        # merge pathology. On a real S3/GCS cluster, re-enable per venue.
+        .config("spark.hadoop.parquet.hadoop.vectored.io.enabled", "false")
     )
     # Shuffle spill location: on a real cluster every executor brings its
     # own local NVMe, so aggregate shuffle bandwidth SCALES with cluster
