@@ -47,6 +47,11 @@ class DedupConfig:
 
     seed: int = DEFAULT_SEED
     k: int = DEFAULT_K  # KMV sketch nominal entries
+    # sampling probability p (Theta/HeapQuickSelectSketch.cs:73; builder
+    # validation Theta/UpdateSketchBuilder.cs:164-192): sketches start at
+    # theta = p * 2^63 so only a p-fraction of the hash domain is retained.
+    # Default 1.0 matches the reference default (no pre-sampling).
+    p: float = 1.0
     ngram: int = 5  # token shingle width (north-star: 5-gram)
     bands: int = 16
     rows: int = 8
@@ -60,18 +65,34 @@ class DedupConfig:
     # shared run of >= span_window + ngram - 1 tokens is guaranteed to
     # share a winnowed fingerprint (Schleimer et al. 2003).
     span_pass: bool = False
-    span_window: int = 50  # winnowing window, in shingles
+    # window 46 so the guarantee bound (span_window + ngram - 1 = 50 at
+    # ngram=5) exactly matches the default span_min_tokens reporting
+    # filter: every reported span length is guaranteed-coverage, never
+    # merely probabilistic
+    span_window: int = 46  # winnowing window, in shingles
     span_min_tokens: int = 50  # report pairs with a common span >= this
     span_fp_cap: int = 16  # fingerprint buckets larger than this are boilerplate: dropped + logged
 
     def __post_init__(self) -> None:
         _check_k(self.k)
+        if not (0.0 < self.p <= 1.0):
+            raise ValueError(f"sampling probability p must be in (0, 1]: {self.p}")
         if self.ngram < 1:
             raise ValueError("ngram must be >= 1")
         if self.bands < 1 or self.rows < 1:
             raise ValueError("bands/rows must be >= 1")
         if not (0.0 < self.jaccard_threshold <= 1.0):
             raise ValueError("jaccard_threshold in (0, 1]")
+        if self.span_window < 1:
+            raise ValueError("span_window must be >= 1")
+        if self.span_min_tokens < self.span_window + self.ngram - 1:
+            # the winnowing guarantee only covers runs >= w + ngram - 1:
+            # a smaller reporting floor silently implies guaranteed
+            # coverage the candidate pass cannot deliver
+            raise ValueError(
+                f"span_min_tokens ({self.span_min_tokens}) must be >= "
+                f"span_window + ngram - 1 ({self.span_window + self.ngram - 1}): "
+                "shorter spans are only probabilistically surfaced by winnowing")
 
     @property
     def num_perm(self) -> int:

@@ -296,12 +296,17 @@ class Intersection:
         if s is None:
             raise ValueError(
                 "Intersection argument must not be null (IntersectionImpl.cs:148)")
-        if self._empty or s.empty:
-            self._reset_to_empty()  # empty rule is OR
-            return self
+        # seed validation is UNCONDITIONAL, before the empty short-circuit:
+        # the reference checks seed hashes on every input
+        # (IntersectionImpl.cs:150 → ThetaUtil.CheckSeedHashes), so a
+        # mixed-seed stream surfaces immediately even when either side is
+        # empty rather than later or never
         if s.seed != self.seed:
             raise ValueError(
                 f"seed mismatch: {s.seed} != {self.seed} (ThetaUtil.CheckSeedHashes)")
+        if self._empty or s.empty:
+            self._reset_to_empty()  # empty rule is OR
+            return self
         self._theta = min(self._theta, s.theta)  # theta rule
         self._empty = False
         n_in = s.count

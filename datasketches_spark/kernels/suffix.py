@@ -39,18 +39,19 @@ def _window_hashes(h: np.ndarray, L: int) -> np.ndarray:
 
 
 def _inv_pow_table(pows: np.ndarray, n: int, L: int) -> np.ndarray:
-    """Inverses of B^(n-L-i) mod 2^64 for window starts i=0..n-L."""
-    inv_b = _modinv64(int(_B))
+    """Inverses of B^(n-L-i) mod 2^64 for window starts i=0..n-L.
+    Vectorized exactly like the forward ``pows`` table: one
+    ``np.multiply.accumulate`` over the inverse multiplier (a per-element
+    Python loop here was the span pass's hot loop — O(n) interpreter
+    iterations per binary-search probe)."""
+    inv_b = np.uint64(_modinv64(int(_B)))
     m = n - L + 1
-    invp = np.empty(m, dtype=np.uint64)
-    invp[-1] = 1  # i = n-L -> exponent 0
+    tmp = np.empty(m, dtype=np.uint64)
+    tmp[0] = 1
     with np.errstate(over="ignore"):
-        acc = np.uint64(1)
-        ib = np.uint64(inv_b)
-        for i in range(m - 2, -1, -1):
-            acc = acc * ib
-            invp[i] = acc
-    return invp
+        if m > 1:
+            np.multiply.accumulate(np.full(m - 1, inv_b, dtype=np.uint64), out=tmp[1:])
+    return tmp[::-1]  # invp[i] = inv_b^(m-1-i) = inv(B^(n-L-i))
 
 
 def _modinv64(a: int) -> int:

@@ -77,13 +77,22 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
     ``localCheckpoint``'s executor-local blocks are lost with the executor
     and FAIL the job rather than recompute. Keep the default (local) only
     for single-process interactive queries."""
+    # maps id(checkpointed df) -> the PERSISTED pre-checkpoint handle:
+    # unpersist() must be called on the handle that persist() was called
+    # on — calling it on the checkpointed DataFrame is a no-op against the
+    # original cache, which silently kept every round's full edge table
+    # cached for the whole run
+    persisted: dict[int, DataFrame] = {}
     if reliable:
         def _ckpt(df: DataFrame) -> DataFrame:
             # persist first: the reliable-checkpoint job runs AFTER the
             # first action and would otherwise recompute the round from
             # lineage (the classic persist-before-checkpoint rule); with
             # the cache it just copies blocks to reliable storage
-            return df.persist().checkpoint(eager=False)
+            p = df.persist()
+            c = p.checkpoint(eager=False)
+            persisted[id(c)] = p
+            return c
     else:
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=False)
@@ -99,12 +108,20 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
     def _drop_stale(keep: DataFrame) -> None:
         # called right after an action materialized ``keep`` (and, through
         # lazy lineage, every intermediate round): superseded rounds'
-        # caches — billions of edge rows at web scale — can go
+        # caches — billions of edge rows at web scale — can go. ``keep``
+        # itself was just materialized TO RELIABLE STORAGE by that action,
+        # so its pre-checkpoint cache is dead weight too: subsequent reads
+        # come from the checkpoint files.
         if reliable:
             for df in stale:
                 if df is not keep:
-                    df.unpersist()
+                    p = persisted.pop(id(df), None)
+                    if p is not None:
+                        p.unpersist()
             stale.clear()
+            p = persisted.pop(id(keep), None)
+            if p is not None:
+                p.unpersist()
 
     cur = _ckpt(_small_star(edges))
     prev_sig = _checksum(cur)

@@ -64,11 +64,17 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
     content column is exactly the scale mistake to avoid at 100 TB.
     """
     seed, ngram, num_perm, k = cfg.seed, cfg.ngram, cfg.num_perm, cfg.k
-    span_w = cfg.span_window
+    # winnowing fingerprints are only consumed by the common-span pass:
+    # when cfg.span_pass is off (the default), span_fps stays an empty
+    # array and the O(n) sliding-min is skipped entirely — every other
+    # consumer of the signature table never pays for it
+    span_w = cfg.span_window if cfg.span_pass else 0
+    p = cfg.p
     schema = signature_schema()
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         params = minhash.perm_params(num_perm, seed)
+        no_fps = np.empty(0, dtype=np.int64)
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             texts = pdf["content"].tolist()
@@ -84,8 +90,9 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
                 stream = shingles.shingle_hashes(token_hashes[i], ngram, seed)
                 sset = np.unique(stream)
                 shingle_sets.append(sset)
-                fp_list.append(winnow.winnow(stream, span_w).view(np.int64))
-                sk = kmv.build(sset, k=k, seed=seed)
+                fp_list.append(winnow.winnow(stream, span_w).view(np.int64)
+                               if span_w else no_fps)
+                sk = kmv.build(sset, k=k, seed=seed, p=p)
                 kmv_list.append(sk.entries.view(np.int64))
                 theta_list[i] = np.int64(np.uint64(sk.theta).view(np.int64))
                 n_tok[i] = len(token_lists[i])

@@ -31,15 +31,27 @@ SPAN_SCHEMA = T.StructType([
 
 
 def verify_spans(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
-                 id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+                 id_col: str = "doc_id", content_col: str = "content",
+                 max_tokens: int = 1 << 20) -> DataFrame:
     """pairs(id_a, id_b) × docs → (id_a, id_b, common_span_tokens,
-    containment). containment = span length / shorter doc token count."""
+    containment). containment = span length / shorter doc token count.
+
+    ``max_tokens`` bounds the per-pair work at O(cap·log cap): token
+    sequences longer than the cap are truncated before the span search, so
+    one pathological giant pair cannot stall its task. For capped documents
+    ``common_span_tokens`` is a lower bound (reported as min(true, cap))
+    while ``containment`` still divides by the TRUE shorter-doc length.
+    The default (2^20 tokens) is far above any real source file."""
     seed = cfg.seed
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
     joined = (
         pairs.select("id_a", "id_b")
         .join(d.select(F.col("doc_id").alias("id_a"), F.col("content").alias("text_a")), "id_a")
         .join(d.select(F.col("doc_id").alias("id_b"), F.col("content").alias("text_b")), "id_b")
+        # spread pairs evenly over tasks by pair hash: the join output is
+        # partitioned by id_b, under which one hot document's pairs (a
+        # boilerplate hub) would all land in one task's Arrow batches
+        .repartition(F.xxhash64("id_a", "id_b"))
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -54,7 +66,8 @@ def verify_spans(pairs: DataFrame, docs: DataFrame, cfg: DedupConfig,
             cont = np.empty(n, dtype=np.float64)
             for i in range(n):
                 ta, tb = token_lists[i], token_lists[n + i]
-                spans[i] = suffix.longest_common_span(ta, tb)
+                spans[i] = suffix.longest_common_span(
+                    ta[:max_tokens], tb[:max_tokens])
                 m = min(ta.shape[0], tb.shape[0])
                 cont[i] = spans[i] / m if m else 0.0
             yield pd.DataFrame({

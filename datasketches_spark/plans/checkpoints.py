@@ -63,20 +63,25 @@ def input_fingerprint(df: DataFrame) -> str | None:
     files = sorted(df.inputFiles())
     if not files:
         return None
-    # every file NAME is covered (already on the driver, no I/O), but sizes
-    # are stat'd for at most a deterministic sample: at millions of objects
-    # a per-file stat loop is a slow serial driver scan (and on an object
-    # store, a HEAD per key). The name list + count + sampled sizes still
-    # catch any same-name-different-data overwrite in the sample and any
-    # add/remove/rename anywhere.
-    max_stat = 1024
+    # every file NAME is covered (already on the driver, no I/O), but
+    # size+mtime are stat'd for at most a deterministic sample: at millions
+    # of objects a per-file stat loop is a slow serial driver scan (and on
+    # an object store, a HEAD per key). The name list + count + sampled
+    # size/mtime still catch any same-name-different-data overwrite in the
+    # sample and any add/remove/rename anywhere. KNOWN LIMIT: an in-place
+    # overwrite of a NON-sampled file (same name, same total file count, on
+    # inputs larger than the sample) is invisible — such overwrites require
+    # manual checkpoint invalidation, or raise the sample via
+    # DSS_FP_MAX_STAT (the stat loop is cheap up to ~10^5 files on POSIX).
+    max_stat = int(os.environ.get("DSS_FP_MAX_STAT", "1024"))
     stride = max(1, len(files) // max_stat)
     sampled = set(files[::stride])
     parts = [f"n={len(files)}"]
     for f in files:
         if f in sampled:
             try:
-                parts.append(f"{f}:{os.path.getsize(_strip_file_scheme(f))}")
+                st = os.stat(_strip_file_scheme(f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
                 continue
             except OSError:
                 pass

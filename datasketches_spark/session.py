@@ -76,10 +76,15 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
     # a fixed resource that a 4N-leg probe run contends for 4x harder, an
     # artifact a real N->4N comparison doesn't have. Routing spark.local.dir
     # to tmpfs (RAM-backed, ~100x the virtio bandwidth) restores the
-    # per-executor-disk assumption. Override with SPARK_GRAFT_LOCAL_DIR;
-    # falls back to Spark's default when no tmpfs exists.
+    # per-executor-disk assumption — but tmpfs is RAM-bounded, so a spill
+    # larger than tmpfs fails with no-space-left instead of using disk.
+    # Hence EXPLICIT OPT-IN only: SPARK_GRAFT_LOCAL_DIR=<dir> or
+    # SPARK_GRAFT_TMPFS=1 (bench.py sets the latter for probe runs, where
+    # the working set is sized to fit); the library default is Spark's own
+    # disk-backed local dir.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
+    if (local_dir is None and os.environ.get("SPARK_GRAFT_TMPFS") == "1"
+            and os.path.isdir("/dev/shm")):
         local_dir = "/dev/shm/spark-local"
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)

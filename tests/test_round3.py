@@ -297,18 +297,24 @@ def test_cc_converges_on_chain_with_tight_iteration_budget(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
     )
-    failed_budgets = []
+    outcomes = {}
     for budget in range(1, 8):
         try:
             res = connected_components(edges, max_iterations=budget).collect()
         except RuntimeError:
-            failed_budgets.append(budget)
+            outcomes[budget] = False
             continue
         assert {r["cluster_id"] for r in res} == {0}
         assert len(res) == n
-        # every larger budget must also succeed (monotone) — checked by loop
-    # some small budget must succeed well below the default 25
-    assert len(failed_budgets) < 7, failed_budgets
+        outcomes[budget] = True
+    # pin the minimal passing budget: the 64-chain needs exactly 6
+    # large/small-star rounds after the initial small-star; budgets 1-5
+    # must fail, and at budget 6 convergence lands EXACTLY on the final
+    # round — it passes only because of the final consecutive-round
+    # convergence check (revert connected_components.py's not-converged
+    # re-check and this fails); success is monotone above the minimum
+    assert outcomes == {1: False, 2: False, 3: False, 4: False, 5: False,
+                        6: True, 7: True}, outcomes
 
 
 # ------------------------------- store-routed verify + broadcast guard
