@@ -245,6 +245,31 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return verify.verify_pairs(pairs, sig, cfg)
 
 
+def _q_minhash_pairs_bounded(spark, sf_dir):
+    """LSH candidate pairs with 2-sigma Jaccard CONFIDENCE BOUNDS — the
+    reference's marquee B-over-A ratio-bounds machinery
+    (/root/reference/ThetaCommon/BoundsOnRatiosInThetaSketchedSets.cs:45-103)
+    as pure JVM column math: answers "which pairs are >= t at 2-sigma
+    confidence" (filter jaccard_lb >= t) without leaving Spark. Rows-only
+    check; NumPy parity vs kmv.jaccard pinned in tests/test_round4.py."""
+    from datasketches_spark.operators import lsh, verify
+    from datasketches_spark.operators.signatures import build_signatures
+
+    cfg = DedupConfig(jaccard_threshold=0.5)
+    d = _read(spark, sf_dir, "documents").select(F.col("doc_id"), F.col("text").alias("content"))
+    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    sig = sig.localCheckpoint()
+    bands = lsh.band_table(sig, cfg)
+    pairs = lsh.candidate_pairs_exact(bands, cfg)
+    out = verify.verify_pairs(pairs, sig, cfg, with_bounds=True)
+    return out.select(
+        "id_a", "id_b",
+        F.round("jaccard_kmv", 6).alias("jaccard_kmv"),
+        F.round("jaccard_lb", 6).alias("jaccard_lb"),
+        F.round("jaccard_ub", 6).alias("jaccard_ub"),
+    )
+
+
 def _q_simhash_fingerprints(spark, sf_dir):
     """SimHash fingerprints + per-doc shingle counts (rows-only)."""
     from datasketches_spark.operators.signatures import build_signatures
@@ -493,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "embedding_topk": _q_embedding_topk,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "minhash_pairs_bounded": _q_minhash_pairs_bounded,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "lsh_bucket_histogram": _q_lsh_bucket_histogram,

@@ -9,9 +9,10 @@ shuffle of the corpus. Top-k per query via a window over (query, score).
 
 Scale path: random-hyperplane LSH — sign bits of dot products with
 ``n_planes`` deterministic hyperplanes form a bucket key; candidates only
-need scoring within matching buckets (multi-probe: all buckets within
-Hamming distance 1 optionally). Hyperplanes are generated from the seed via
-murmur3-keyed Philox so every executor materializes identical planes."""
+need scoring within matching buckets (``cosine_topk_lsh(multi_probe=True)``
+additionally probes all buckets within Hamming distance 1 on the query
+side). Hyperplanes are generated from the seed via murmur3-keyed Philox so
+every executor materializes identical planes."""
 
 from __future__ import annotations
 
@@ -172,14 +173,30 @@ def cosine_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.95,
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                     n_planes: int = 12, seed: int = DEFAULT_SEED,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    query_id_col: str = "query_id") -> DataFrame:
+                    query_id_col: str = "query_id",
+                    multi_probe: bool = False) -> DataFrame:
     """Approximate top-k: score only within the query's hyperplane bucket.
     Equi-join on bucket replaces the cross join — at 10^9+ vectors this is
-    the difference between a scan per query and a hash lookup."""
+    the difference between a scan per query and a hash lookup.
+
+    ``multi_probe=True`` expands each QUERY to all buckets within Hamming
+    distance 1 of its own (flip each of the n_planes sign bits): a true
+    neighbor sitting just across one hyperplane — the dominant single-table
+    miss mode — is recovered at (n_planes+1)× the query-side join
+    fan-out, which is free when the query set is broadcast. Corpus-side
+    cost is unchanged (corpus rows still carry one bucket)."""
     c = with_lsh_bucket(corpus, dim, n_planes, seed, vec_col).select(
         id_col, "bucket", F.col(vec_col).alias("c_vec"), _norm(F.col(vec_col)).alias("c_norm"))
     q = with_lsh_bucket(queries, dim, n_planes, seed, vec_col).select(
         query_id_col, "bucket", F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm"))
+    if multi_probe:
+        # exact bucket + each single-bit flip; all n_planes+1 values are
+        # distinct, and a corpus row holds ONE bucket, so no (query,
+        # corpus) pair can match twice — no post-join dedup needed
+        probes = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+        q = q.select(query_id_col, "q_vec", "q_norm",
+                     F.explode(probes).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .withColumn(

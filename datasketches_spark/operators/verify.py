@@ -19,10 +19,125 @@ estimator)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datasketches_spark.config import DedupConfig
+from datasketches_spark.config import MAX_THETA_LONG, DedupConfig
+
+# ---- Jaccard confidence bounds as pure Spark column math --------------
+# The reference's marquee B-over-A bounds machinery
+# (/root/reference/ThetaCommon/BoundsOnRatiosInThetaSketchedSets.cs:45-103
+# → Common/BoundsOnRatiosInSampledSets.cs:51-123 →
+# Common/BoundsOnBinomialProportions.cs:42-200), re-expressed as JVM-side
+# column expressions (whole-stage codegen, no per-row Python): the A&S
+# 7.1.28 erf approximation, the A&S 26.5.22 approximate inverse incomplete
+# beta, the exact k ∈ {0, 1, n-1, n} corner branches, and the
+# HackyAdjuster(f) z-widening. NumPy twins live in kernels/bounds.py; the
+# parity test pins these columns to kmv.jaccard.
+
+_ERF_A = (0.0705230784, 0.0422820123, 0.0092705272,
+          0.0001520143, 0.0002765672, 0.0000430638)
+
+
+def _erf_col(x):
+    ax = F.abs(x)
+    # Horner over |x|: s = 1 + a1|x| + ... + a6|x|^6, erf = 1 - s^-16
+    s = F.lit(float(_ERF_A[5]))
+    for a in reversed(_ERF_A[:5]):
+        s = s * ax + F.lit(float(a))
+    s = s * ax + F.lit(1.0)
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    val = F.lit(1.0) - F.lit(1.0) / (s8 * s8)
+    return F.when(x < 0, -val).otherwise(val)
+
+
+def _norm_cdf_col(x):
+    return F.lit(0.5) * (F.lit(1.0) + _erf_col(x / F.lit(math.sqrt(2.0))))
+
+
+def _as_26_5_22_col(a, b, yp):
+    b2m1 = F.lit(2.0) * b - F.lit(1.0)
+    a2m1 = F.lit(2.0) * a - F.lit(1.0)
+    lam = (yp * yp - F.lit(3.0)) / F.lit(6.0)
+    h = F.lit(2.0) / (F.lit(1.0) / a2m1 + F.lit(1.0) / b2m1)
+    w = (yp * F.sqrt(h + lam)) / h - (F.lit(1.0) / b2m1 - F.lit(1.0) / a2m1) * (
+        lam + F.lit(5.0 / 6.0) - F.lit(2.0) / (F.lit(3.0) * h))
+    return a / (a + b * F.exp(F.lit(2.0) * w))
+
+
+def _proportion_lb_col(n, k, z):
+    delta = _norm_cdf_col(-z)
+    return (
+        F.when(n == 0, F.lit(0.0))
+        .when(k == 0, F.lit(0.0))
+        .when(k == 1, F.lit(1.0) - F.pow(F.lit(1.0) - delta, F.lit(1.0) / n))
+        .when(k == n, F.pow(delta, F.lit(1.0) / n))
+        .otherwise(F.lit(1.0) - _as_26_5_22_col((n - k) + F.lit(1.0),
+                                                F.greatest(k, F.lit(1.0)), -z))
+    )
+
+
+def _proportion_ub_col(n, k, z):
+    delta = _norm_cdf_col(-z)
+    return (
+        F.when(n == 0, F.lit(1.0))
+        .when(k == n, F.lit(1.0))
+        .when(k == n - 1, F.pow(F.lit(1.0) - delta, F.lit(1.0) / n))
+        .when(k == 0, F.lit(1.0) - F.pow(delta, F.lit(1.0) / n))
+        .otherwise(F.lit(1.0) - _as_26_5_22_col(F.greatest(n - k, F.lit(1.0)),
+                                                k + F.lit(1.0), z))
+    )
+
+
+def _ratio_bounds_cols(count_a, count_b, f, num_std_devs: float = 2.0):
+    """(lb, ub) columns on |B|/|A| — BoundsOnRatiosInSampledSets.cs:51-123
+    incl. the HackyAdjuster z-widening; f == 1 (exact mode) collapses both
+    bounds to the estimate, as the reference does."""
+    hacky = F.sqrt(F.lit(1.0) - f) + F.when(
+        f > 0.5, F.lit(0.01) * (f - F.lit(0.5))).otherwise(F.lit(0.0))
+    z = F.lit(float(num_std_devs)) * hacky
+    est = F.when(count_a > 0, count_b / F.greatest(count_a, F.lit(1.0))).otherwise(F.lit(0.5))
+    lb = (F.when(count_a == 0, F.lit(0.0))
+          .when(f == 1.0, est)
+          .otherwise(_proportion_lb_col(count_a, count_b, z)))
+    ub = (F.when(count_a == 0, F.lit(1.0))
+          .when(f == 1.0, est)
+          .otherwise(_proportion_ub_col(count_a, count_b, z)))
+    return lb, ub
+
+
+def _jaccard_bounds_cols(cfg: DedupConfig, num_std_devs: float = 2.0):
+    """(jaccard_lb, jaccard_ub) columns mirroring ``kmv.jaccard``: the
+    union of the two entry sets below min-theta with the quickselect
+    pull-back to nominal k (union theta becomes the (k+1)-th smallest when
+    more than k survive — exactly kmv.union's trim rule), then ratio
+    bounds of |A∩B| over |A∪B| at inclusion probability
+    f = theta/2^63-1."""
+    min_theta = F.least(F.col("theta_a"), F.col("theta_b"))
+    ka = F.filter(F.col("kmv_a"), lambda x: x < min_theta)
+    kb = F.filter(F.col("kmv_b"), lambda x: x < min_theta)
+    su = F.array_sort(F.array_union(ka, kb))  # entries < 2^63: signed sort ok
+    n_u = F.size(su)
+    k = F.lit(cfg.k)
+    theta_eff = F.when(n_u > k, F.element_at(su, cfg.k + 1)).otherwise(min_theta)
+    cu = F.when(n_u > k, k).otherwise(n_u).cast("double")
+    ci = F.size(F.filter(F.array_intersect(ka, kb), lambda x: x < theta_eff)).cast("double")
+    f = theta_eff.cast("double") / F.lit(float(MAX_THETA_LONG))
+    lb, ub = _ratio_bounds_cols(cu, ci, f, num_std_devs)
+    # count_u == 0: J = 1 when both sketches are empty, else 0
+    # (kmv.jaccard's corner rule); table-encoded empty = no entries at
+    # theta long.MaxValue
+    both_empty = ((F.size(F.col("kmv_a")) == 0) & (F.size(F.col("kmv_b")) == 0)
+                  & (F.col("theta_a") == F.lit(MAX_THETA_LONG))
+                  & (F.col("theta_b") == F.lit(MAX_THETA_LONG)))
+    corner = F.when(both_empty, F.lit(1.0)).otherwise(F.lit(0.0))
+    lb = F.when(cu == 0, corner).otherwise(lb)
+    ub = F.when(cu == 0, corner).otherwise(ub)
+    return lb, ub
 
 
 def _jaccard_cols(cfg: DedupConfig):
@@ -43,9 +158,18 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
                  left_col: str = "id_a", right_col: str = "id_b",
                  keep_below_threshold: bool = False,
                  participants_hint: int | None = None,
-                 participant_broadcast_max: int = 4_000_000) -> DataFrame:
+                 participant_broadcast_max: int = 4_000_000,
+                 with_bounds: bool = False,
+                 num_std_devs: float = 2.0) -> DataFrame:
     """pairs(id_a, id_b) × signatures → (id_a, id_b, jaccard_kmv,
     jaccard_minhash) filtered at cfg.jaccard_threshold.
+
+    ``with_bounds=True`` appends ``jaccard_lb``/``jaccard_ub`` — the
+    reference's B-over-A confidence bounds on the Jaccard estimate at
+    ``num_std_devs`` sigma (BoundsOnRatiosInThetaSketchedSets.cs:45-103),
+    computed entirely as JVM column expressions — so "which pairs are
+    >= t at 2-sigma confidence" is answerable without leaving Spark
+    (filter on ``jaccard_lb >= t``).
 
     Two equi-joins against the signature table. The signature rows are WIDE
     (k=4096 KMV entries ≈ 32 KB each), so shuffling the whole table through
@@ -85,16 +209,16 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
         F.col("kmv_theta").alias("theta_b"),
     )
     kmv_j, mh_j = _jaccard_cols(cfg)
-    out = (
-        pairs.join(a, left_col)
-        .join(b, right_col)
-        .select(
-            left_col,
-            right_col,
-            kmv_j.alias("jaccard_kmv"),
-            mh_j.alias("jaccard_minhash"),
-        )
-    )
+    cols = [
+        F.col(left_col),
+        F.col(right_col),
+        kmv_j.alias("jaccard_kmv"),
+        mh_j.alias("jaccard_minhash"),
+    ]
+    if with_bounds:
+        lb, ub = _jaccard_bounds_cols(cfg, num_std_devs)
+        cols += [lb.alias("jaccard_lb"), ub.alias("jaccard_ub")]
+    out = pairs.join(a, left_col).join(b, right_col).select(*cols)
     if not keep_below_threshold:
         out = out.filter(F.col("jaccard_kmv") >= F.lit(cfg.jaccard_threshold))
     return out
