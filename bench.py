@@ -154,6 +154,16 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     qs = entry_mod.queries()
+    # untimed warm-up pass at the smallest sf (JVM bench practice, same
+    # protocol as the dedup section below): the FIRST query to touch an
+    # Arrow stage otherwise absorbs the one-time python-worker pool spawn
+    # (N workers x fork + numpy/pandas import) and first-use codegen —
+    # ~7-9 s billed to whichever query runs first instead of the engine
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+        if os.path.isdir(warm_dir):
+            for name in HEADLINE:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
