@@ -108,8 +108,16 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         sig.count()
 
     bands = lsh.band_table(sig, cfg)
+    # singleton buckets (the overwhelming majority — ~90% of all buckets
+    # at 1M files, and ~everything at 10^12) are consumed by NOTHING
+    # downstream: candidate generation, the fallback pass and both
+    # Observations only ever look at bucket_size > 1. Filtering them
+    # BEFORE the materialization cuts the stats write (and every
+    # downstream rescan/join of the table) ~10x.
     stats = store.stage(
-        "bucket_stats", lambda: lsh.bucket_stats(bands), upstream=["signatures"],
+        "bucket_stats",
+        lambda: lsh.bucket_stats(bands).filter(F.col("bucket_size") > 1),
+        upstream=["signatures"],
         # bucket metrics piggyback on the write job (no count jobs)
         extra_obs={
             "n_dropped_buckets":

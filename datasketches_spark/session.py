@@ -44,6 +44,16 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Checkpoint stages deliberately write ~2x-cores files so the next
+        # (usually Arrow/python) stage gets enough tasks to pipeline JVM
+        # and python-worker halves across waves. The default openCost (4MB)
+        # lets the file scan PACK several such files into one 128MB
+        # partition, silently resurrecting the undersubscription (measured:
+        # a 16-file signature input read back as 8 partitions -> half the
+        # cores idle at local[16], flat scaling beyond 8). 64MB openCost
+        # means "never pack multi-MB files"; scans of real >=128MB files
+        # (the 100 TB case) are unaffected since they split by size anyway.
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024 * 1024))
         # default 64MB task-memory pages mean every shuffle task first-touches
         # a fresh 64MB heap region; this environment's page-fault latency makes
         # that the dominant cost of every exchange (measured 2x end-to-end).
