@@ -59,7 +59,16 @@ def _sf_of(path: str) -> float:
 
 
 def corpus_path(n_files: int) -> str:
-    return os.path.join(_REPO, ".cache", f"corpus_{n_files}")
+    """Bench corpus location: tmpfs when available (same placement rule as
+    shuffle + checkpoint store, see BENCH/BASELINE.md 'Storage placement'):
+    on a real cluster the input scan comes from an object store whose
+    aggregate bandwidth scales with cluster size, while this sandbox's
+    single cold virtio disk reads at ~10 MB/s under host contention — a
+    fixed shared resource that poisons whichever probe leg reads it first
+    (measured: docs_meta 175 s cold-disk vs 4 s warm). Generation is
+    excluded from timing, so regenerating per boot costs nothing timed."""
+    base = "/dev/shm/bench-corpus" if os.path.isdir("/dev/shm") else os.path.join(_REPO, ".cache")
+    return os.path.join(base, f"corpus_{n_files}")
 
 
 def ckpt_base() -> str:

@@ -24,6 +24,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 
 from datasketches_spark.config import DEFAULT_SEED
 from datasketches_spark.kernels.murmur3 import hash128_bytes_vec, sketch_hash_longs_vec
@@ -45,18 +46,28 @@ def tokenize(text: str) -> list[str]:
 def hash_tokens_batch(token_lists: list[list[str]], seed: int = DEFAULT_SEED) -> list[np.ndarray]:
     """Hash every token of every document in one vectorized murmur3 call.
 
-    Distinct tokens across the batch are hashed once (vocabulary dedup);
-    documents then gather their token-hash streams by index.
+    Distinct tokens across the batch are hashed once (vocabulary dedup via
+    ``pd.factorize`` — C hash table, first-occurrence order); documents
+    then gather their token-hash streams by index.
     """
-    vocab: dict[str, int] = {}
-    idx_lists = []
+    n_docs = len(token_lists)
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n_docs)
+    total = int(counts.sum())
+    empty = np.empty(0, dtype=np.uint64)
+    if total == 0:
+        return [empty] * n_docs
+    flat = np.empty(total, dtype=object)
+    pos = 0
     for toks in token_lists:
-        idx_lists.append(np.fromiter((vocab.setdefault(t, len(vocab)) for t in toks), dtype=np.int64, count=len(toks)))
-    if vocab:
-        h1, _ = hash128_bytes_vec([t.encode("utf-8") for t in vocab], seed)
-    else:
-        h1 = np.empty(0, dtype=np.uint64)
-    return [h1[idx] if idx.size else np.empty(0, dtype=np.uint64) for idx in idx_lists]
+        if toks:
+            flat[pos : pos + len(toks)] = toks
+            pos += len(toks)
+    codes, uniques = pd.factorize(flat, sort=False)
+    h1, _ = hash128_bytes_vec([t.encode("utf-8") for t in uniques], seed)
+    allh = h1[codes]
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return [allh[offs[i] : offs[i + 1]] if counts[i] else empty for i in range(n_docs)]
 
 
 def shingle_hashes(token_hashes: np.ndarray, ngram: int, seed: int = DEFAULT_SEED) -> np.ndarray:
@@ -70,6 +81,58 @@ def shingle_hashes(token_hashes: np.ndarray, ngram: int, seed: int = DEFAULT_SEE
         return sketch_hash_longs_vec(token_hashes.reshape(1, -1), seed)
     windows = np.lib.stride_tricks.sliding_window_view(token_hashes, ngram)
     return sketch_hash_longs_vec(np.ascontiguousarray(windows), seed)
+
+
+def shingle_hashes_batch(token_hash_list: list[np.ndarray], ngram: int,
+                         seed: int = DEFAULT_SEED,
+                         chunk_windows: int = 1 << 18) -> list[np.ndarray]:
+    """``shingle_hashes`` over a whole batch of documents in O(1) NumPy
+    dispatches per ~chunk_windows shingle windows (instead of per document
+    — small source files make per-doc vector calls overhead-bound).
+
+    Bit-identical to per-doc ``shingle_hashes``: full-width windows of all
+    docs are gathered into one (W, ngram) matrix and hashed in bounded
+    chunks; short docs (< ngram tokens) are grouped by exact width and
+    hashed per width, preserving the single-shingle-of-what-exists rule.
+    """
+    n_docs = len(token_hash_list)
+    counts = np.fromiter((a.shape[0] for a in token_hash_list), dtype=np.int64, count=n_docs)
+    out: list[np.ndarray | None] = [None] * n_docs
+    empty = np.empty(0, dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return [empty] * n_docs
+    allh = np.concatenate([np.asarray(a, dtype=np.uint64) for a in token_hash_list])
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+
+    full = np.flatnonzero(counts >= ngram)
+    if full.size:
+        wcounts = counts[full] - ngram + 1
+        woffs = np.zeros(full.size + 1, dtype=np.int64)
+        np.cumsum(wcounts, out=woffs[1:])
+        total_w = int(woffs[-1])
+        # global start index of every window: per-doc base + 0..wcount-1
+        starts = np.repeat(offs[full] - woffs[:-1], wcounts) + np.arange(total_w)
+        gather = np.arange(ngram, dtype=np.int64)[None, :]
+        hashed = np.empty(total_w, dtype=np.uint64)
+        for c0 in range(0, total_w, chunk_windows):
+            c1 = min(c0 + chunk_windows, total_w)
+            win = allh[starts[c0:c1, None] + gather]
+            hashed[c0:c1] = sketch_hash_longs_vec(win, seed)
+        for j, d in enumerate(full):
+            out[d] = hashed[woffs[j] : woffs[j + 1]]
+
+    for w in range(1, ngram):
+        idx = np.flatnonzero(counts == w)
+        if idx.size:
+            rows = allh[offs[idx][:, None] + np.arange(w, dtype=np.int64)]
+            h = sketch_hash_longs_vec(rows, seed)
+            for j, d in enumerate(idx):
+                out[d] = h[j : j + 1]
+    for d in np.flatnonzero(counts == 0):
+        out[d] = empty
+    return out  # type: ignore[return-value]
 
 
 def shingle_set(text: str, ngram: int, seed: int = DEFAULT_SEED) -> np.ndarray:

@@ -80,6 +80,7 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
             texts = pdf["content"].tolist()
             token_lists = [shingles.tokenize(t or "") for t in texts]
             token_hashes = shingles.hash_tokens_batch(token_lists, seed)
+            streams = shingles.shingle_hashes_batch(token_hashes, ngram, seed)
             n = len(texts)
             shingle_sets: list[np.ndarray] = []
             kmv_list, theta_list = [], np.empty(n, dtype=np.int64)
@@ -87,7 +88,7 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
             n_shg = np.empty(n, dtype=np.int32)
             fp_list = []
             for i in range(n):
-                stream = shingles.shingle_hashes(token_hashes[i], ngram, seed)
+                stream = streams[i]
                 sset = np.unique(stream)
                 shingle_sets.append(sset)
                 fp_list.append(winnow.winnow(stream, span_w).view(np.int64)

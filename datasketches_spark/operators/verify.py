@@ -280,10 +280,12 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     memb = bands.join(eligible, ["band", "bhash"])  # (band, bhash, doc_id, rep)
     # materialize the RAW star edges first (3 longs per row — tiny): the
     # verify subtree then consumes a materialized table instead of
-    # re-running candidate generation per consumer, and the edge count
-    # (free off the write Observation) bounds the participant-id set so
-    # verify_pairs can broadcast-semi-filter the wide signature table
-    # instead of shuffling every 32 KB row through two joins.
+    # re-running candidate generation per consumer (the bands scan — the
+    # largest narrow table in the pipeline — must run exactly once), and
+    # the edge count (free off the write Observation) bounds the
+    # participant-id set so verify_pairs can broadcast-semi-filter the wide
+    # signature table instead of shuffling every 32 KB row through two
+    # joins.
     ups = store_upstream or []
     star = _materialize(
         "star_edges",
@@ -340,21 +342,19 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
                     ["band", "bhash"])
     a = bb.select("band", "bhash", F.col("doc_id").alias("id_a"))
     b = bb.select("band", "bhash", F.col("doc_id").alias("id_b"))
-    fb_pairs = _materialize(
-        "fb_pairs",
-        lambda: (
-            a.join(b, ["band", "bhash"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-            .join(passed.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-        ),
-        upstream=ups + (["star_verified", "bad_buckets"]
-                        if store is not None and getattr(store, "enabled", False)
-                        else []),
+    fb_pairs = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(passed.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     )
-    n_fb = _n_rows("fb_pairs", fb_pairs)
-    fb_v = verify_pairs(fb_pairs, sig, cfg, participants_hint=2 * n_fb)
+    # fallback pairs stay a pure plan (no checkpoint stage): the subtree is
+    # bounded by bad buckets (rare on clean corpora) and its participant
+    # set is bounded by their membership — at most n_bad × bucket_cap doc
+    # ids — so the verify broadcast decision needs no materialized count.
+    n_fb_partic = n_bad * cfg.bucket_cap if n_bad is not None else None
+    fb_v = verify_pairs(fb_pairs, sig, cfg, participants_hint=n_fb_partic)
     return (
         passed.unionByName(fb_v).dropDuplicates(["id_a", "id_b"])
     )

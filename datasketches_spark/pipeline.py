@@ -130,8 +130,8 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     # broadcast the eligible-bucket side of candidate generation when its
     # observed count fits comfortably in memory (~48B/row); at web scale
     # the count is huge and this stays a shuffle join
-    n_eligible = (store.manifest("bucket_stats") or {}).get(
-        "observed", {}).get("n_eligible_buckets")
+    bucket_obs = (store.manifest("bucket_stats") or {}).get("observed", {})
+    n_eligible = bucket_obs.get("n_eligible_buckets")
     bcast_eligible = n_eligible is not None and n_eligible * 48 < 256 * 1024 * 1024
 
     _, dropped = lsh.candidate_edges(bands, cfg, stats)
