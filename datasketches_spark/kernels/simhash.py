@@ -36,7 +36,9 @@ def fingerprints_batch(shingle_sets: list[np.ndarray]) -> np.ndarray:
     if nonempty.size == 0:
         return out
     shifts = np.arange(64, dtype=np.uint64)[None, :]
-    m_chunk = max(8192, int(lengths.max()))
+    # L2-resident chunk (1024 × 64 × 8 B = 512 KB bit buffer): the
+    # shift/mask/reduceat passes stay in-cache — see minhash.signatures_batch
+    m_chunk = max(1024, int(lengths.max()))
     bitbuf = np.empty((m_chunk, 64), dtype=np.uint64)
     one = np.uint64(1)
     start = 0
