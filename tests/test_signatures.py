@@ -151,3 +151,61 @@ def test_containment_embedded_block():
     b = np.concatenate([block, rng.integers(1, 1 << 62, 200, dtype=np.uint64)])
     assert suffix.longest_common_span(a, b) == 50
     assert suffix.containment(a, b) == 50 / 80
+
+
+# ---- batched shingle hashing (the signature stage's hot path)
+
+
+def test_shingle_hashes_batch_matches_per_doc():
+    """Batched gather-and-hash must be bit-identical to the per-doc path
+    across every width class: empty, 1..ngram-1 (short-doc single shingle),
+    exactly ngram, and long docs."""
+    rng = np.random.default_rng(1)
+    docs = [["tok%d" % rng.integers(0, 200) for _ in range(n)]
+            for n in [0, 1, 2, 3, 4, 5, 6, 50, 337, 4, 0, 1, 1000]]
+    th = shingles.hash_tokens_batch(docs, DEFAULT_SEED)
+    batched = shingles.shingle_hashes_batch(th, 5, DEFAULT_SEED)
+    for i, t in enumerate(th):
+        ref = shingles.shingle_hashes(t, 5, DEFAULT_SEED)
+        assert batched[i].dtype == np.uint64
+        assert np.array_equal(batched[i], ref), f"doc {i}"
+
+
+def test_shingle_hashes_batch_chunk_boundaries():
+    """Chunked window hashing is chunk-size-invariant (boundaries may split
+    a document's windows across chunks)."""
+    rng = np.random.default_rng(2)
+    docs = [["t%d" % rng.integers(0, 50) for _ in range(rng.integers(5, 60))]
+            for _ in range(40)]
+    th = shingles.hash_tokens_batch(docs, DEFAULT_SEED)
+    big = shingles.shingle_hashes_batch(th, 5, DEFAULT_SEED, chunk_windows=1 << 18)
+    tiny = shingles.shingle_hashes_batch(th, 5, DEFAULT_SEED, chunk_windows=7)
+    for a, b in zip(big, tiny):
+        assert np.array_equal(a, b)
+
+
+def test_hash_tokens_batch_all_empty_docs():
+    out = shingles.hash_tokens_batch([[], [], []], DEFAULT_SEED)
+    assert len(out) == 3 and all(a.size == 0 for a in out)
+
+
+def test_minhash_batch_chunk_size_invariant():
+    """L2-sized chunking of signatures_batch must not change signatures:
+    compare against the unchunked per-doc signature()."""
+    rng = np.random.default_rng(3)
+    sets = [np.unique(rng.integers(1, 1 << 62, rng.integers(1, 300), dtype=np.uint64))
+            for _ in range(50)] + [np.empty(0, dtype=np.uint64)]
+    batched = minhash.signatures_batch(sets, 32, DEFAULT_SEED)
+    for i, s in enumerate(sets):
+        assert np.array_equal(batched[i], minhash.signature(s, 32, DEFAULT_SEED))
+
+
+def test_simhash_batch_matches_scalar():
+    """fingerprints_batch (chunked, reused bit buffer) must equal the
+    scalar fingerprint() per document, including empty docs."""
+    rng = np.random.default_rng(4)
+    sets = [np.unique(rng.integers(1, 1 << 62, rng.integers(1, 300), dtype=np.uint64))
+            for _ in range(50)] + [np.empty(0, dtype=np.uint64)]
+    batched = simhash.fingerprints_batch(sets)
+    for i, s in enumerate(sets):
+        assert int(batched[i]) == simhash.fingerprint(s), f"doc {i}"
