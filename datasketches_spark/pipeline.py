@@ -88,7 +88,11 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
             "doc_id", "content"
         ),
         upstream=["docs_meta"],
-        min_partitions=2 * n_cores,  # feeds the compute-heavy signature stage
+        # feeds the compute-heavy signature stage: sized to the DATA with a
+        # floor well above 2x any probe-leg core count, so the same
+        # checkpoint gives every consumer parallelism fine-grained tasks
+        # (a handful of straggler tasks at tiny task counts idles a wave)
+        min_partitions=max(64, 2 * n_cores),
     )
 
     # no min_partitions here: the input checkpoint already carries n_cores
@@ -107,7 +111,19 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         sig = sig.persist()
         sig.count()
 
-    bands = lsh.band_table(sig, cfg)
+    # the band table is consumed by FIVE subtrees (bucket stats, star-edge
+    # membership, bad-bucket re-scan, both sides of the fallback self-join);
+    # left as a plan, each consumer re-reads the wide signature parquet and
+    # recomputes 16 band hashes + posexplode. Materialized once it is a
+    # NARROW table (doc_id, band, bhash — ~24 B/row vs the ~1 KB/row
+    # minhash column every re-derivation decodes), so one write replaces
+    # four full signature-column scans — at any scale the narrow-table
+    # reads are strictly cheaper.
+    bands = store.stage(
+        "bands",
+        lambda: lsh.band_table(sig, cfg),
+        upstream=["signatures"],
+    )
     # singleton buckets (the overwhelming majority — ~90% of all buckets
     # at 1M files, and ~everything at 10^12) are consumed by NOTHING
     # downstream: candidate generation, the fallback pass and both
@@ -117,7 +133,7 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     stats = store.stage(
         "bucket_stats",
         lambda: lsh.bucket_stats(bands).filter(F.col("bucket_size") > 1),
-        upstream=["signatures"],
+        upstream=["bands"],
         # bucket metrics piggyback on the write job (no count jobs)
         extra_obs={
             "n_dropped_buckets":
@@ -144,8 +160,8 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         # localCheckpoint blocks that fail the job on executor loss).
         lambda: verify.verify_star_edges_with_fallback(
             bands, stats, sig, cfg, broadcast_eligible=bcast_eligible,
-            store=store, store_upstream=["signatures", "bucket_stats"]),
-        upstream=["signatures", "bucket_stats"],
+            store=store, store_upstream=["signatures", "bands", "bucket_stats"]),
+        upstream=["signatures", "bands", "bucket_stats"],
     )
     if persist:
         verified = verified.persist()
