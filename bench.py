@@ -294,6 +294,47 @@ def scaling_probe() -> None:
     tainted_n = {n: 0 for n in legs}
     replacements = {n: 0 for n in legs}
     results, loads = {}, {}
+
+    def _render() -> str:
+        rows = "".join(
+            f"| local[{n}] | {results[n]['value']} | "
+            f"{results[n]['queries']['dedup_pipeline_e2e']} | {loads[n]} | "
+            f"{done[n]} | {tainted_n[n]} |\n"
+            for n in sorted(results))
+        both = pair[0] in results and pair[1] in results
+        eff_txt = (
+            f"{results[pair[1]]['value'] / (4.0 * results[pair[0]]['value']):.3f}"
+            if both else "pending (campaign in progress)")
+        section = (
+            f"corpus: {N_FILES} synthetic source files (seed 42), identical input every leg;\n"
+            f"best of {repeats} runs per probe leg, legs INTERLEAVED round-robin (every leg\n"
+            f"samples the same external-load regimes), load-gated at < {gate or 'off'} before each\n"
+            "run; attempts whose post-run 5-min load shows a mid-run burst are marked tainted\n"
+            "and earn a replacement round (external host load only ever inflates wall time).\n"
+            "The table is rewritten after EVERY attempt, so a killed campaign leaves the\n"
+            "completed attempts on record instead of nothing.\n"
+            "Protocol per BASELINE.md: full dedup pipeline (sha256 pre-pass, signatures, LSH,\n"
+            "KMV-Jaccard verify, connected components, checkpointed stages), corpus generation\n"
+            "excluded; throughput = files / dedup wall seconds. Corpus + shuffle + checkpoint\n"
+            "store on tmpfs (see 'Storage placement' below).\n\n"
+            "| parallelism | files/sec | dedup wall sec | host load at start | attempts | tainted |\n"
+            "|---|---|---|---|---|---|\n"
+            + rows +
+            f"\n**Documented probe pair = local[{pair[0]}] vs local[{pair[1]}]** (N and 4N cores, both\n"
+            "legs within the 2-threads-per-Arrow-task host capacity — rationale below):\n\n"
+            f"scaling efficiency = files/sec@{pair[1]} / (4 x files/sec@{pair[0]}) = "
+            f"**{eff_txt}** (target >= 0.8)\n"
+        )
+        for lo, hi, label in [(ref_pair[0], ref_pair[1],
+                               "driver-prescribed; the large leg is 2x oversubscribed "
+                               "on this 32-core host") if ref_pair else (0, 0, ""),
+                              (4, 16, "additional reference")]:
+            if lo and lo in results and hi in results and (lo, hi) != pair:
+                e = results[hi]["value"] / (4.0 * results[lo]["value"])
+                section += (f"\nReference pair local[{lo}] vs local[{hi}] ({label}):"
+                            f" efficiency = **{e:.3f}**\n")
+        return section
+
     while any(done[n] < want[n] for n in legs):
         for n in legs:
             if done[n] >= want[n]:
@@ -307,40 +348,12 @@ def scaling_probe() -> None:
                     want[n] += 1
             if n not in results or r["value"] > results[n]["value"]:
                 results[n], loads[n] = r, load0
+            # incremental commit: a campaign cut off mid-run (session end,
+            # crash, storm abort) keeps every completed attempt on record
+            _update_probe_section(_render())
     f_lo, f_hi = results[pair[0]]["value"], results[pair[1]]["value"]
     eff = f_hi / (4.0 * f_lo)
-    rows = "".join(
-        f"| local[{n}] | {results[n]['value']} | "
-        f"{results[n]['queries']['dedup_pipeline_e2e']} | {loads[n]} | "
-        f"{done[n]} | {tainted_n[n]} |\n"
-        for n in sorted(results))
-    section = (
-        f"corpus: {N_FILES} synthetic source files (seed 42), identical input every leg;\n"
-        f"best of {repeats} runs per probe leg, legs INTERLEAVED round-robin (every leg\n"
-        f"samples the same external-load regimes), load-gated at < {gate or 'off'} before each\n"
-        "run; attempts whose post-run 5-min load shows a mid-run burst are marked tainted\n"
-        "and earn a replacement round (external host load only ever inflates wall time).\n"
-        "Protocol per BASELINE.md: full dedup pipeline (sha256 pre-pass, signatures, LSH,\n"
-        "KMV-Jaccard verify, connected components, checkpointed stages), corpus generation\n"
-        "excluded; throughput = files / dedup wall seconds. Shuffle + checkpoint store on\n"
-        "tmpfs (see 'Storage placement' below).\n\n"
-        "| parallelism | files/sec | dedup wall sec | host load at start | attempts | tainted |\n"
-        "|---|---|---|---|---|---|\n"
-        + rows +
-        f"\n**Documented probe pair = local[{pair[0]}] vs local[{pair[1]}]** (N and 4N cores, both\n"
-        "legs within the 2-threads-per-Arrow-task host capacity — rationale below):\n\n"
-        f"scaling efficiency = files/sec@{pair[1]} / (4 x files/sec@{pair[0]}) = "
-        f"**{eff:.3f}** (target >= 0.8)\n"
-    )
-    for lo, hi, label in [(ref_pair[0], ref_pair[1],
-                           "driver-prescribed; the large leg is 2x oversubscribed "
-                           "on this 32-core host") if ref_pair else (0, 0, ""),
-                          (4, 16, "additional reference")]:
-        if lo and lo in results and hi in results and (lo, hi) != pair:
-            e = results[hi]["value"] / (4.0 * results[lo]["value"])
-            section += (f"\nReference pair local[{lo}] vs local[{hi}] ({label}):"
-                        f" efficiency = **{e:.3f}**\n")
-    _update_probe_section(section)
+    _update_probe_section(_render())
     out = {"scaling_efficiency": round(eff, 3),
            f"files_per_sec_{pair[0]}": f_lo, f"files_per_sec_{pair[1]}": f_hi}
     if ref_pair and all(n in results for n in ref_pair):
