@@ -148,6 +148,55 @@ def build(hashes: np.ndarray, k: int = DEFAULT_K, seed: int = DEFAULT_SEED,
     return _finalize(theta0, u, False, k, seed)
 
 
+def build_batch(unique_sets: list[np.ndarray], k: int = DEFAULT_K,
+                seed: int = DEFAULT_SEED, p: float = 1.0,
+                ) -> tuple[list[np.ndarray], np.ndarray]:
+    """Vectorized ``build`` over many documents' DISTINCT SORTED hash sets
+    (as produced by ``shingles.unique_sets_batch``): one concatenated
+    validity mask + one bincount replaces a per-document build call —
+    the per-doc work left is O(1) slicing. Returns (entries_list, thetas)
+    bit-identical to ``[build(s, k, seed, p) for s in unique_sets]``
+    (entries uint64 sorted ascending; thetas int64, always < 2^63).
+
+    The per-update semantics being vectorized are the reference's
+    UpdateSketch.HashUpdate + Rebuild (HeapQuickSelectSketch.cs:239-321):
+    reject reserved values 0 and 2^63-1 and anything >= theta, keep the k
+    smallest, pull theta back to the (k+1)-th smallest past nominal k."""
+    theta0 = initial_theta(p)
+    n = len(unique_sets)
+    counts = np.fromiter((s.shape[0] for s in unique_sets), dtype=np.int64, count=n)
+    thetas = np.empty(n, dtype=np.int64)
+    entries: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    empty_e = np.empty(0, dtype=np.uint64)
+    if int(counts.sum()):
+        u = np.concatenate([np.asarray(s, dtype=np.uint64) for s in unique_sets])
+        d = np.repeat(np.arange(n, dtype=np.int64), counts)
+        valid = (u > 0) & (u < np.uint64(theta0))
+        uv = u[valid]
+        vcounts = np.bincount(d[valid], minlength=n)
+        voffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vcounts, out=voffs[1:])
+    else:
+        uv = empty_e
+        vcounts = np.zeros(n, dtype=np.int64)
+        voffs = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        c = int(vcounts[i])
+        o = voffs[i]
+        if c == 0:
+            entries[i] = empty_e
+            # data seen but sampled away (p < 1) is NOT the virgin empty
+            # state: theta stays at p*2^63, exactly as ``build`` does
+            thetas[i] = theta0 if (counts[i] > 0 and p < 1.0) else MAX_THETA_LONG
+        elif c > k:
+            entries[i] = uv[o:o + k]
+            thetas[i] = np.int64(uv[o + k])  # (k+1)-th smallest, < 2^63
+        else:
+            entries[i] = uv[o:o + c]
+            thetas[i] = theta0
+    return entries, thetas
+
+
 def build_with_stats(hashes: np.ndarray, k: int = DEFAULT_K, seed: int = DEFAULT_SEED,
                      p: float = 1.0) -> tuple[ThetaSketch, dict]:
     """``build`` plus the vectorized analogue of the reference's per-update

@@ -63,6 +63,12 @@ def hash_tokens_batch(token_lists: list[list[str]], seed: int = DEFAULT_SEED) ->
             flat[pos : pos + len(toks)] = toks
             pos += len(toks)
     codes, uniques = pd.factorize(flat, sort=False)
+    if (codes < 0).any():
+        # factorize maps missing values (None/NaN) to -1; gathering with a
+        # negative code would silently alias the LAST unique's hash. Fail
+        # loudly instead, naming the offender, like the dict path once did.
+        bad = flat[np.flatnonzero(codes < 0)[0]]
+        raise TypeError(f"non-string token in token stream: {bad!r}")
     h1, _ = hash128_bytes_vec([t.encode("utf-8") for t in uniques], seed)
     allh = h1[codes]
     offs = np.zeros(n_docs + 1, dtype=np.int64)
@@ -133,6 +139,42 @@ def shingle_hashes_batch(token_hash_list: list[np.ndarray], ngram: int,
     for d in np.flatnonzero(counts == 0):
         out[d] = empty
     return out  # type: ignore[return-value]
+
+
+def unique_sets_batch(streams: list[np.ndarray],
+                      segmented_max_mean: int = 16) -> list[np.ndarray]:
+    """``[np.unique(s) for s in streams]``, dispatch-adaptive.
+
+    Two regimes, measured on this host: for TINY streams (mean length
+    under ~16) the per-document ``np.unique`` python dispatch dominates
+    the actual sorting work, and a single segmented sort over
+    (doc_idx, hash) + one boundary-diff pass is ~2x faster; for normal
+    streams each per-doc sort runs in L1/L2 cache while a global lexsort
+    of the concatenation is a cache-missing mergesort that gets WORSE
+    with length (measured 1.8x slower at ~40 elements, 17x at ~400) —
+    there the per-doc loop is kept. Bit-identical outputs either way
+    (sorted ascending, distinct)."""
+    n = len(streams)
+    counts = np.fromiter((s.shape[0] for s in streams), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    empty = np.empty(0, dtype=np.uint64)
+    if total == 0:
+        return [empty] * n
+    if total > segmented_max_mean * n:
+        return [np.unique(s) for s in streams]
+    allh = np.concatenate([np.asarray(s, dtype=np.uint64) for s in streams])
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((allh, doc))  # primary: doc, secondary: hash
+    hs = allh[order]
+    ds = doc[order]
+    first = np.ones(total, dtype=bool)
+    np.not_equal(hs[1:], hs[:-1], out=first[1:])
+    first[1:] |= ds[1:] != ds[:-1]
+    uniq = hs[first]
+    ucounts = np.bincount(ds[first], minlength=n)
+    uoffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ucounts, out=uoffs[1:])
+    return [uniq[uoffs[i]:uoffs[i + 1]] if ucounts[i] else empty for i in range(n)]
 
 
 def shingle_set(text: str, ngram: int, seed: int = DEFAULT_SEED) -> np.ndarray:

@@ -92,22 +92,17 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
             token_hashes = shingles.hash_tokens_batch(token_lists, seed)
             streams = shingles.shingle_hashes_batch(token_hashes, ngram, seed)
             n = len(texts)
-            shingle_sets: list[np.ndarray] = []
-            kmv_list, theta_list = [], np.empty(n, dtype=np.int64)
-            n_tok = np.empty(n, dtype=np.int32)
-            n_shg = np.empty(n, dtype=np.int32)
-            fp_list = []
-            for i in range(n):
-                stream = streams[i]
-                sset = np.unique(stream)
-                shingle_sets.append(sset)
-                fp_list.append(winnow.winnow(stream, span_w).view(np.int64)
-                               if span_w else no_fps)
-                sk = kmv.build(sset, k=k, seed=seed, p=p)
-                kmv_list.append(sk.entries.view(np.int64))
-                theta_list[i] = np.int64(np.uint64(sk.theta).view(np.int64))
-                n_tok[i] = len(token_lists[i])
-                n_shg[i] = sset.shape[0]
+            # distinct shingle sets + KMV sketches batched ACROSS documents
+            # (segmented sort + boundary diff / one validity mask + bincount)
+            # — no per-document np.unique or kmv.build dispatch; outputs
+            # bit-identical (parity-pinned in tests/test_signatures.py)
+            shingle_sets = shingles.unique_sets_batch(streams)
+            kmv_entries, theta_list = kmv.build_batch(shingle_sets, k=k, seed=seed, p=p)
+            kmv_list = [e.view(np.int64) for e in kmv_entries]
+            n_tok = np.fromiter((len(t) for t in token_lists), dtype=np.int32, count=n)
+            n_shg = np.fromiter((s.shape[0] for s in shingle_sets), dtype=np.int32, count=n)
+            fp_list = ([winnow.winnow(s, span_w).view(np.int64) for s in streams]
+                       if span_w else [no_fps] * n)
             # MinHash + SimHash vectorized across the whole Arrow batch
             mh = minhash.signatures_batch(shingle_sets, num_perm, seed, params)
             sh = simhash.fingerprints_batch(shingle_sets)

@@ -209,3 +209,60 @@ def test_simhash_batch_matches_scalar():
     batched = simhash.fingerprints_batch(sets)
     for i, s in enumerate(sets):
         assert int(batched[i]) == simhash.fingerprint(s), f"doc {i}"
+
+
+def test_unique_sets_batch_matches_per_doc():
+    """Segmented unique must be bit-identical to per-doc np.unique across
+    empty, singleton, all-duplicate and long streams."""
+    rng = np.random.default_rng(7)
+    streams = [
+        np.empty(0, dtype=np.uint64),
+        np.array([5], dtype=np.uint64),
+        np.array([9, 9, 9, 9], dtype=np.uint64),
+        rng.integers(0, 50, size=400).astype(np.uint64),
+        rng.integers(0, 2**63 - 1, size=1000).astype(np.uint64),
+        np.array([0, 0, 1, 2**63 - 1], dtype=np.uint64),  # reserved values kept here
+        np.empty(0, dtype=np.uint64),
+    ]
+    got = shingles.unique_sets_batch(streams)
+    assert len(got) == len(streams)
+    for i, s in enumerate(streams):
+        assert got[i].dtype == np.uint64
+        assert np.array_equal(got[i], np.unique(s)), f"stream {i}"
+
+
+@pytest.mark.parametrize("k,p", [(16, 1.0), (4096, 1.0), (16, 0.25), (4096, 0.01)])
+def test_kmv_build_batch_matches_per_doc(k, p):
+    """Vectorized batch build must be bit-identical to per-doc kmv.build:
+    entries, theta (incl. the (k+1)-th pull-back and the sampled-away
+    non-virgin theta), across empty / tiny / reserved-value / huge sets."""
+    from datasketches_spark.kernels import kmv
+
+    rng = np.random.default_rng(13)
+    sets = [
+        np.empty(0, dtype=np.uint64),
+        np.unique(rng.integers(1, 2**63 - 1, size=5).astype(np.uint64)),
+        np.unique(rng.integers(1, 2**63 - 1, size=100).astype(np.uint64)),
+        np.unique(rng.integers(1, 2**63 - 1, size=20000).astype(np.uint64)),
+        np.array([0], dtype=np.uint64),                    # only reserved values
+        np.array([0, 2**63 - 1], dtype=np.uint64),
+        np.unique(rng.integers(1, 1000, size=64).astype(np.uint64)),  # tiny hashes
+        np.empty(0, dtype=np.uint64),
+    ]
+    entries, thetas = kmv.build_batch(sets, k=k, p=p)
+    for i, s in enumerate(sets):
+        ref = kmv.build(s, k=k, p=p)
+        assert np.array_equal(entries[i], ref.entries), f"set {i}"
+        assert int(thetas[i]) == ref.theta, f"set {i}"
+
+
+def test_unique_sets_batch_regime_invariant():
+    """Both dispatch regimes (segmented sort vs per-doc) must produce
+    identical outputs on the same input."""
+    rng = np.random.default_rng(3)
+    streams = [rng.integers(0, 100, size=int(rng.integers(0, 30))).astype(np.uint64)
+               for _ in range(50)]
+    seg = shingles.unique_sets_batch(streams, segmented_max_mean=10**9)
+    per = shingles.unique_sets_batch(streams, segmented_max_mean=0)
+    for a, b in zip(seg, per):
+        assert np.array_equal(a, b)
