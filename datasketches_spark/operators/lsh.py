@@ -71,6 +71,19 @@ def bucket_histogram(stats: DataFrame) -> DataFrame:
     )
 
 
+def _capped_bands(bands: DataFrame, cfg: DedupConfig,
+                  stats: DataFrame | None = None) -> DataFrame:
+    """Band rows restricted to ELIGIBLE buckets (size in (1, bucket_cap]) —
+    the shared preamble of every pair generator, so the cap rule lives in
+    exactly one place."""
+    if stats is None:
+        stats = bucket_stats(bands)
+    eligible = stats.filter(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap)
+    )
+    return bands.join(eligible.select("band", "bhash"), ["band", "bhash"])
+
+
 def candidate_edges(bands: DataFrame, cfg: DedupConfig,
                     stats: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """Star edges (src=bucket rep, dst=member), deduplicated across bands.
@@ -97,10 +110,7 @@ def candidate_pairs_exact(bands: DataFrame, cfg: DedupConfig,
     the O(size²) enumeration, used when the full pair list is the product
     (and by the DuckDB oracle checks). Self-join on (band, bhash); AQE
     skew-join splits any residual hot key."""
-    if stats is None:
-        stats = bucket_stats(bands)
-    eligible = stats.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap))
-    capped = bands.join(eligible.select("band", "bhash"), ["band", "bhash"])
+    capped = _capped_bands(bands, cfg, stats)
     a = capped.select("band", "bhash", F.col("doc_id").alias("id_a"))
     b = capped.select("band", "bhash", F.col("doc_id").alias("id_b"))
     return (
@@ -123,10 +133,7 @@ def candidate_pairs_salted(bands: DataFrame, cfg: DedupConfig, n_salts: int = 8,
     completeness preserved, skew defused at S× replication cost of the
     right side. Same (id_a < id_b) output contract as
     ``candidate_pairs_exact``."""
-    if stats is None:
-        stats = bucket_stats(bands)
-    eligible = stats.filter((F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap))
-    capped = bands.join(eligible.select("band", "bhash"), ["band", "bhash"])
+    capped = _capped_bands(bands, cfg, stats)
     a = capped.select(
         "band", "bhash", F.col("doc_id").alias("id_a"),
         F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("salt"),

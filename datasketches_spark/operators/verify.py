@@ -20,6 +20,7 @@ estimator)."""
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -110,13 +111,17 @@ def _ratio_bounds_cols(count_a, count_b, f, num_std_devs: float = 2.0):
     return lb, ub
 
 
-def _jaccard_bounds_cols(cfg: DedupConfig, num_std_devs: float = 2.0):
-    """(jaccard_lb, jaccard_ub) columns mirroring ``kmv.jaccard``: the
-    union of the two entry sets below min-theta with the quickselect
-    pull-back to nominal k (union theta becomes the (k+1)-th smallest when
-    more than k survive — exactly kmv.union's trim rule), then ratio
-    bounds of |A∩B| over |A∪B| at inclusion probability
-    f = theta/2^63-1."""
+def _trimmed_ratio_parts(cfg: DedupConfig):
+    """(cu, ci, f, corner) of the TRIMMED Jaccard statistic mirroring
+    ``kmv.jaccard``: the union of the two entry sets below min-theta with
+    the quickselect pull-back to nominal k (union theta becomes the
+    (k+1)-th smallest when more than k survive — exactly kmv.union's trim
+    rule); cu/ci are the union/intersection counts below the effective
+    theta, f the inclusion probability theta/2^63-1, and ``corner`` the
+    cu == 0 value (J = 1 when both sketches are empty, else 0 —
+    kmv.jaccard's corner rule; table-encoded empty = no entries at theta
+    long.MaxValue). Shared by the point estimate and the lb/ub bounds so
+    the estimate is the exact statistic its own bounds bound."""
     min_theta = F.least(F.col("theta_a"), F.col("theta_b"))
     ka = F.filter(F.col("kmv_a"), lambda x: x < min_theta)
     kb = F.filter(F.col("kmv_b"), lambda x: x < min_theta)
@@ -127,26 +132,32 @@ def _jaccard_bounds_cols(cfg: DedupConfig, num_std_devs: float = 2.0):
     cu = F.when(n_u > k, k).otherwise(n_u).cast("double")
     ci = F.size(F.filter(F.array_intersect(ka, kb), lambda x: x < theta_eff)).cast("double")
     f = theta_eff.cast("double") / F.lit(float(MAX_THETA_LONG))
-    lb, ub = _ratio_bounds_cols(cu, ci, f, num_std_devs)
-    # count_u == 0: J = 1 when both sketches are empty, else 0
-    # (kmv.jaccard's corner rule); table-encoded empty = no entries at
-    # theta long.MaxValue
     both_empty = ((F.size(F.col("kmv_a")) == 0) & (F.size(F.col("kmv_b")) == 0)
                   & (F.col("theta_a") == F.lit(MAX_THETA_LONG))
                   & (F.col("theta_b") == F.lit(MAX_THETA_LONG)))
     corner = F.when(both_empty, F.lit(1.0)).otherwise(F.lit(0.0))
+    return cu, ci, f, corner
+
+
+def _jaccard_bounds_cols(cfg: DedupConfig, num_std_devs: float = 2.0):
+    """(jaccard_lb, jaccard_ub) columns: ratio bounds of the trimmed
+    |A∩B| over |A∪B| statistic (``_trimmed_ratio_parts``) at inclusion
+    probability f = theta/2^63-1."""
+    cu, ci, f, corner = _trimmed_ratio_parts(cfg)
+    lb, ub = _ratio_bounds_cols(cu, ci, f, num_std_devs)
     lb = F.when(cu == 0, corner).otherwise(lb)
     ub = F.when(cu == 0, corner).otherwise(ub)
     return lb, ub
 
 
 def _jaccard_cols(cfg: DedupConfig):
-    min_theta = F.least(F.col("theta_a"), F.col("theta_b"))
-    ka = F.filter(F.col("kmv_a"), lambda x: x < min_theta)
-    kb = F.filter(F.col("kmv_b"), lambda x: x < min_theta)
-    inter = F.size(F.array_intersect(ka, kb))
-    uni = F.size(F.array_union(ka, kb))
-    kmv_j = F.when(uni > 0, inter.cast("double") / uni.cast("double")).otherwise(F.lit(0.0))
+    """Point-estimate columns (jaccard_kmv, jaccard_minhash). jaccard_kmv
+    is the SAME trimmed statistic the lb/ub bounds bound (and kmv.jaccard's
+    ``est``) — in estimation mode the raw union can hold up to 2k entries,
+    so an untrimmed |A∩B|/|A∪B| would be a slightly different statistic
+    that can fall outside its own bounds."""
+    cu, ci, _, corner = _trimmed_ratio_parts(cfg)
+    kmv_j = F.when(cu > 0, ci / cu).otherwise(corner)
     mh_agree = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda b: b)
     )
@@ -349,10 +360,25 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
         .distinct()
         .join(passed.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     )
-    # fallback pairs stay a pure plan (no checkpoint stage): the subtree is
-    # bounded by bad buckets (rare on clean corpora) and its participant
-    # set is bounded by their membership — at most n_bad × bucket_cap doc
-    # ids — so the verify broadcast decision needs no materialized count.
+    # verify_pairs consumes the pair plan TWICE when it broadcasts the
+    # participant-id set (distinct-ids side + join probe side). On a clean
+    # corpus bad buckets are rare (the bench corpus sits ~10^3) and
+    # re-running the bounded subtree twice is cheaper than another
+    # materialization stage (~1.3 s fixed); on an adversarial
+    # boilerplate-heavy corpus (many failed reps) the cap²-bounded
+    # self-join is worth running once, so the plan is materialized when
+    # n_bad crosses the adversarial-regime threshold — as a resumable
+    # sub-stage in the store path.
+    if n_bad is not None and n_bad > int(os.environ.get("DSS_FB_MATERIALIZE_BAD", "20000")):
+        fb_pairs = _materialize(
+            "fallback_pairs", lambda: fb_pairs,
+            upstream=ups + (["star_verified", "bad_buckets"]
+                            if store is not None and getattr(store, "enabled", False)
+                            else []),
+        )
+    # the fallback participant set is bounded by bad-bucket membership —
+    # at most n_bad × bucket_cap doc ids — so the verify broadcast decision
+    # needs no materialized count.
     n_fb_partic = n_bad * cfg.bucket_cap if n_bad is not None else None
     fb_v = verify_pairs(fb_pairs, sig, cfg, participants_hint=n_fb_partic)
     return (

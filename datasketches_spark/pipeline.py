@@ -47,9 +47,22 @@ class DedupResult:
 
 def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
               checkpoint_dir: str | None = None, id_col: str = "id",
-              collect_metrics: bool = False) -> DedupResult:
+              collect_metrics: bool = False,
+              light_stages: bool = False) -> DedupResult:
+    """``light_stages=True`` keeps resumable parquet checkpoints only at
+    the EXPENSIVE stage boundaries (signatures, verified_edges, clusters,
+    and the two deliverable tables); the cheap narrow stages between them
+    become lazy plans (multi-consumer ones cached). A full checkpoint
+    stage costs ~1 s of fixed overhead (write job + manifest + read-back
+    planning) regardless of data size — at production scale that is
+    noise, but on small-to-medium runs the 13-stage floor dominates wall
+    time. The trade: a crash mid-run re-runs at most the cheap plans
+    between two heavy boundaries, and the intra-verify sub-stages fall
+    back to ``localCheckpoint`` (executor-local blocks — fine
+    single-process / bench; keep the default full-checkpoint mode on
+    preemptible clusters)."""
     store = CheckpointStore(spark, checkpoint_dir or "", cfg, enabled=bool(checkpoint_dir),
-                            input_fp=input_fingerprint(docs))
+                            input_fp=input_fingerprint(docs), light=light_stages)
     # without a checkpoint dir, persist the small intermediates so the
     # several terminal actions (clusters, pairs) don't re-run the heavy
     # signature stage; checkpointed stages already read back from parquet
@@ -67,10 +80,14 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         lambda: exact_dedup.with_sha256(base).select(
             "doc_id", "repo", "path", "commit", "lang", "sha256"
         ),
+        # light mode: narrow meta table, cached (consumed by exact groups,
+        # exact edges and the final assignment join)
+        light=True, cache=True,
     )
 
     exact_groups = store.stage(
-        "exact_groups", lambda: exact_dedup.exact_dup_groups(hashed), upstream=["docs_meta"]
+        "exact_groups", lambda: exact_dedup.exact_dup_groups(hashed),
+        upstream=["docs_meta"], light=True,
     )
     exact_edges = exact_dedup.exact_dup_edges(hashed, exact_groups)
     if persist:
@@ -93,6 +110,10 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         # checkpoint gives every consumer parallelism fine-grained tasks
         # (a handful of straggler tasks at tiny task counts idles a wave)
         min_partitions=max(64, 2 * n_cores),
+        # light mode: the full content column is never written at all —
+        # the signature write job reads the corpus directly (uncached:
+        # content is the one column too big to pin)
+        light=True,
     )
 
     # no min_partitions here: the input checkpoint already carries n_cores
@@ -123,6 +144,9 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         "bands",
         lambda: lsh.band_table(sig, cfg),
         upstream=["signatures"],
+        # light mode: cached narrow plan instead of a parquet stage — the
+        # same one-materialization guarantee for its 3 consumers
+        light=True, cache=True,
     )
     # singleton buckets (the overwhelming majority — ~90% of all buckets
     # at 1M files, and ~everything at 10^12) are consumed by NOTHING
@@ -142,6 +166,10 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
                 F.count(F.when((F.col("bucket_size") > 1)
                                & (F.col("bucket_size") <= cfg.bucket_cap), 1)),
         },
+        # light mode: cached plan; the observed counts (and thus the manual
+        # broadcast hint below) are skipped — AQE sees the real size of the
+        # tiny eligible side at runtime and picks the broadcast join itself
+        light=True, cache=True,
     )
     # broadcast the eligible-bucket side of candidate generation when its
     # observed count fits comfortably in memory (~48B/row); at web scale
@@ -158,9 +186,12 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         # The store rides inside: star_verified / bad_buckets become
         # resumable sub-stages (reliable storage, not executor-local
         # localCheckpoint blocks that fail the job on executor loss).
+        # light mode: sub-stages fall back to localCheckpoint (store=None)
+        # — executor-local blocks, the documented light-mode trade
         lambda: verify.verify_star_edges_with_fallback(
             bands, stats, sig, cfg, broadcast_eligible=bcast_eligible,
-            store=store, store_upstream=["signatures", "bands", "bucket_stats"]),
+            store=None if light_stages else store,
+            store_upstream=["signatures", "bands", "bucket_stats"]),
         upstream=["signatures", "bands", "bucket_stats"],
     )
     if persist:
@@ -212,6 +243,7 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
             lambda: spans.span_candidate_pairs(sig, cfg)[0].join(
                 verified.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"),
             upstream=["signatures", "verified_edges"],
+            light=True,
         )
         span_verified = store.stage(
             "span_pairs",
@@ -249,6 +281,11 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
             "n_verified_edges": verified.count(),
             "n_dropped_buckets": dropped.count(),
         })
+    # light mode: release the plan caches this run pinned (bands, stats,
+    # docs_meta) — every deliverable is parquet-backed by its heavy stage,
+    # and repeated runs in one session must not accumulate cached tables.
+    # The returned lazy fields (docs) recompute cheaply if re-scanned.
+    store.release_caches()
     return DedupResult(
         docs=hashed.drop("content"),
         signatures=sig,

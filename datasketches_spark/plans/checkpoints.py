@@ -63,29 +63,51 @@ def input_fingerprint(df: DataFrame) -> str | None:
     files = sorted(df.inputFiles())
     if not files:
         return None
-    # every file NAME is covered (already on the driver, no I/O), but
-    # size+mtime are stat'd for at most a deterministic sample: at millions
-    # of objects a per-file stat loop is a slow serial driver scan (and on
-    # an object store, a HEAD per key). The name list + count + sampled
-    # size/mtime still catch any same-name-different-data overwrite in the
-    # sample and any add/remove/rename anywhere. KNOWN LIMIT: an in-place
-    # overwrite of a NON-sampled file (same name, same total file count, on
-    # inputs larger than the sample) is invisible — such overwrites require
-    # manual checkpoint invalidation, or raise the sample via
-    # DSS_FP_MAX_STAT (the stat loop is cheap up to ~10^5 files on POSIX).
-    max_stat = int(os.environ.get("DSS_FP_MAX_STAT", "1024"))
-    stride = max(1, len(files) // max_stat)
-    sampled = set(files[::stride])
     parts = [f"n={len(files)}"]
-    for f in files:
-        if f in sampled:
+    local = [f for f in files if f.startswith(("file:", "/"))]
+    if len(local) == len(files):
+        # POSIX inputs: size+mtime for EVERY file from one bulk directory
+        # walk per parent dir (os.scandir stats through the open directory
+        # fd — no per-path resolution — so 10^5 entries cost milliseconds,
+        # unlike an os.stat(path) loop or an object-store HEAD per key).
+        # This closes the sampled-fingerprint hole: an in-place
+        # same-size overwrite of ANY input file now invalidates the
+        # checkpoint (mtime moves), not just overwrites inside a sample.
+        meta: dict[str, tuple[int, int]] = {}
+        for d in {os.path.dirname(_strip_file_scheme(f)) for f in files}:
             try:
-                st = os.stat(_strip_file_scheme(f))
-                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-                continue
+                with os.scandir(d) as it:
+                    for e in it:
+                        try:
+                            st = e.stat()
+                            meta[e.path] = (st.st_size, st.st_mtime_ns)
+                        except OSError:
+                            pass
             except OSError:
                 pass
-        parts.append(f)
+        for f in files:
+            m = meta.get(_strip_file_scheme(f))
+            parts.append(f"{f}:{m[0]}:{m[1]}" if m else f)
+    else:
+        # object-store URIs (s3://, gs://, ...): a HEAD per key is a slow
+        # serial driver scan at millions of objects, so size+mtime come
+        # from at most a deterministic sample. The name list + count +
+        # sampled stats still catch overwrites in the sample and any
+        # add/remove/rename anywhere. KNOWN LIMIT: an in-place overwrite of
+        # a NON-sampled object (same key, same total count) is invisible —
+        # invalidate manually or raise the sample via DSS_FP_MAX_STAT.
+        max_stat = int(os.environ.get("DSS_FP_MAX_STAT", "1024"))
+        stride = max(1, len(files) // max_stat)
+        sampled = set(files[::stride])
+        for f in files:
+            if f in sampled:
+                try:
+                    st = os.stat(_strip_file_scheme(f))
+                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+                    continue
+                except OSError:
+                    pass
+            parts.append(f)
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
@@ -98,7 +120,8 @@ class CheckpointStore:
 
     def __init__(self, spark: SparkSession, root: str, cfg: DedupConfig,
                  run_id: str = "run", enabled: bool = True,
-                 input_fp: str | None = None, backend=None):
+                 input_fp: str | None = None, backend=None,
+                 light: bool = False):
         self.spark = spark
         self.root = root
         self.cfg = cfg
@@ -107,8 +130,41 @@ class CheckpointStore:
         self.enabled = enabled
         self.input_fp = input_fp
         self.lineage: list[dict] = []
+        # light mode: stages marked ``light=True`` skip the parquet
+        # checkpoint entirely (returned as lazy plans, optionally cached) —
+        # resumability is kept only at the expensive stage boundaries. The
+        # per-stage fixed cost of a full checkpoint (write job + manifest
+        # PUT + read-back planning, ~1s warm) is noise at production scale
+        # but dominates small runs; light mode trades cheap-stage
+        # resumability for that floor.
+        self.light = light
+        # upstream lists of stages skipped in light mode, so a heavy
+        # stage's manifest chains through them to its nearest CHECKPOINTED
+        # ancestors (a skipped stage has no manifest identity; it is a
+        # deterministic function of cfg + input + those ancestors, all of
+        # which the manifest already covers)
+        self._skipped_upstream: dict[str, list[str]] = {}
+        self._cached: list[DataFrame] = []
         if enabled:
             self.fs = backend if backend is not None else LocalBackend(root)
+
+    def release_caches(self) -> None:
+        """Unpersist every plan cache created by light-mode stages (no-op
+        otherwise). Call once the terminal stages are materialized."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()
+
+    def _resolve_upstream(self, upstream: list[str]) -> list[str]:
+        out: list[str] = []
+        for up in upstream:
+            if up in self._skipped_upstream:
+                out.extend(self._resolve_upstream(self._skipped_upstream[up]))
+            elif up not in out:
+                out.append(up)
+        # dedup, order-preserving
+        seen: set[str] = set()
+        return [u for u in out if not (u in seen or seen.add(u))]
 
     # ------------------------------------------------------------- stages
 
@@ -158,16 +214,36 @@ class CheckpointStore:
               upstream: list[str] | None = None,
               partition_by: list[str] | None = None,
               min_partitions: int | None = None,
-              extra_obs: dict | None = None) -> DataFrame:
+              extra_obs: dict | None = None,
+              light: bool = False, cache: bool = False) -> DataFrame:
         """Run (or resume) a stage. The returned DataFrame always reads from
         the checkpointed parquet, so downstream plans never re-execute
         upstream stages.
 
         ``extra_obs``: {name: aggregate Column} metrics to piggyback on the
         write job (recorded under manifest["observed"]) — stage-level
-        metrics never cost their own Spark job."""
+        metrics never cost their own Spark job.
+
+        ``light=True`` marks a stage cheap-to-recompute: in a light-mode
+        store it is NOT checkpointed — ``compute()`` must build a LAZY plan
+        (no jobs), returned as-is (``cache=True`` additionally persists it
+        for multi-consumer stages; materialization rides the first
+        consumer's job). Downstream heavy stages chain their manifests
+        through skipped stages to the nearest checkpointed ancestors."""
         upstream = upstream or []
         t0 = time.time()
+        if self.enabled and self.light and light:
+            df = compute()
+            if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+                df = df.repartition(min_partitions)
+            if cache:
+                df = df.persist()
+                self._cached.append(df)
+            self._skipped_upstream[name] = upstream
+            self.lineage.append({"stage": name, "resumed": False,
+                                 "checkpointed": False, "light": True})
+            return df
+        upstream = self._resolve_upstream(upstream)
         if not self.enabled:
             df = compute()
             if min_partitions and df.rdd.getNumPartitions() < min_partitions:
@@ -179,7 +255,11 @@ class CheckpointStore:
         if self.is_valid(name, upstream):
             m = self._read_manifest(name)
             self.lineage.append({"stage": name, "resumed": True})
-            return self.spark.read.parquet(
+            # read back with the RECORDED schema: skips the footer-read
+            # schema-inference job that otherwise taxes every resume
+            from pyspark.sql import types as _T
+            return self.spark.read.schema(
+                _T.StructType.fromJson(m["schema"])).parquet(
                 self.fs.spark_path(f"{name}/{m['data_dir']}"))
         df = compute()
         if min_partitions and df.rdd.getNumPartitions() < min_partitions:
@@ -229,7 +309,10 @@ class CheckpointStore:
         self.lineage.append(entry)
         if os.environ.get("DEDUP_PROFILE"):
             print(f"[stage {name}] {entry['wall_sec']}s rows={n_rows}", flush=True)
-        return self.spark.read.parquet(dpath)
+        # read back with the KNOWN schema (we just wrote it): skips the
+        # footer-read schema-inference job — a fixed ~0.1-0.3 s tax per
+        # stage that is pure overhead at any scale
+        return self.spark.read.schema(df.schema).parquet(dpath)
 
     # ------------------------------------------------------------ metrics
 

@@ -62,7 +62,10 @@ def test_verify_bounds_match_numpy_jaccard(spark, k):
         lb, est, ub = kmv.jaccard(sk[r["id_a"]], sk[r["id_b"]], k=cfg.k)
         assert r["jaccard_lb"] == pytest.approx(lb, abs=1e-9), (r, lb, est, ub)
         assert r["jaccard_ub"] == pytest.approx(ub, abs=1e-9), (r, lb, est, ub)
-        assert r["jaccard_lb"] <= r["jaccard_ub"]
+        # the point estimate is the SAME trimmed statistic its bounds bound
+        # (kmv.jaccard's est) — and therefore always inside them
+        assert r["jaccard_kmv"] == pytest.approx(est, abs=1e-9), (r, lb, est, ub)
+        assert r["jaccard_lb"] <= r["jaccard_kmv"] <= r["jaccard_ub"]
 
 
 def test_verify_bounds_exact_mode_collapse(spark):
