@@ -501,6 +501,22 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_media_near_dups(spark, sf_dir):
+    """NEAR-dup (not just exact) dedup for media columns: real PPM decode →
+    deterministic feature vectors → multi-table hyperplane-LSH cosine pairs
+    (equi-join candidates, exact-cosine verify). Input: deterministic
+    synthetic image table with planted slightly-perturbed copies (every
+    id % 5 == 4 perturbs id-1 by ±1 grey level on 4 pixels) — the planted
+    recall test lives in tests/test_round5.py (rows-only here: binary
+    decode is not expressible in the DuckDB oracle)."""
+    from datasketches_spark.operators.multimodal import (
+        media_near_dup_pairs, synthetic_media_with_near_dups)
+
+    media = synthetic_media_with_near_dups(spark, 400, seed=11)
+    out = media_near_dup_pairs(media, dim=64, threshold=0.995, fake=False)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_sha256": _q_doc_sha256,
@@ -536,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_candidate_pairs": _q_salted_candidate_pairs,
         "kmv_serde_roundtrip": _q_kmv_serde_roundtrip,
         "multimodal_features": _q_multimodal_features,
+        "media_near_dups": _q_media_near_dups,
     }
 
 

@@ -46,8 +46,19 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(64, N_FILES // 15000)))
 # tmpfs shuffle/spill for bench runs only (see BENCH/BASELINE.md 'Storage
 # placement'): the bench working set is sized to fit; the library default
-# stays disk-backed (session.py requires this explicit opt-in)
-os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+# stays disk-backed (session.py requires this explicit opt-in). Gated on
+# actual tmpfs headroom below (same rule as corpus/ckpt placement).
+
+
+def _log_placement() -> dict:
+    """Record which storage placement the capacity gate chose (probe
+    transparency: a fallback to disk changes what the numbers mean)."""
+    ok = _tmpfs_ok(_working_set_bytes(N_FILES))
+    return {
+        "tmpfs": bool(ok),
+        "corpus_base": corpus_path(N_FILES),
+        "ckpt_base": ckpt_base(),
+    }
 
 
 def _sf_of(path: str) -> float:
@@ -58,16 +69,38 @@ def _sf_of(path: str) -> float:
         return 0.0
 
 
+def _tmpfs_ok(need_bytes: int) -> bool:
+    """tmpfs placement only when /dev/shm exists AND has headroom for the
+    estimated working set: a too-small tmpfs used to fail mid-campaign
+    with ENOSPC (or worse, squeeze page cache and perturb the very scaling
+    measurement). The chosen placement is logged into the probe section."""
+    if not os.path.isdir("/dev/shm"):
+        return False
+    try:
+        st = os.statvfs("/dev/shm")
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize > need_bytes
+
+
+def _working_set_bytes(n_files: int) -> int:
+    """Rough bench working set: corpus parquet (~1 KB/file) + shuffle spill
+    + checkpoint tables, with generous 4x headroom."""
+    return max(2 * 1024**3, 4 * n_files * 1024)
+
+
 def corpus_path(n_files: int) -> str:
-    """Bench corpus location: tmpfs when available (same placement rule as
-    shuffle + checkpoint store, see BENCH/BASELINE.md 'Storage placement'):
-    on a real cluster the input scan comes from an object store whose
-    aggregate bandwidth scales with cluster size, while this sandbox's
-    single cold virtio disk reads at ~10 MB/s under host contention — a
-    fixed shared resource that poisons whichever probe leg reads it first
-    (measured: docs_meta 175 s cold-disk vs 4 s warm). Generation is
-    excluded from timing, so regenerating per boot costs nothing timed."""
-    base = "/dev/shm/bench-corpus" if os.path.isdir("/dev/shm") else os.path.join(_REPO, ".cache")
+    """Bench corpus location: tmpfs when available AND large enough (same
+    placement rule as shuffle + checkpoint store, see BENCH/BASELINE.md
+    'Storage placement'): on a real cluster the input scan comes from an
+    object store whose aggregate bandwidth scales with cluster size, while
+    this sandbox's single cold virtio disk reads at ~10 MB/s under host
+    contention — a fixed shared resource that poisons whichever probe leg
+    reads it first (measured: docs_meta 175 s cold-disk vs 4 s warm).
+    Generation is excluded from timing, so regenerating per boot costs
+    nothing timed."""
+    base = ("/dev/shm/bench-corpus" if _tmpfs_ok(_working_set_bytes(n_files))
+            else os.path.join(_REPO, ".cache"))
     return os.path.join(base, f"corpus_{n_files}")
 
 
@@ -79,9 +112,15 @@ def ckpt_base() -> str:
     engine. Override with BENCH_CKPT_DIR."""
     d = os.environ.get("BENCH_CKPT_DIR")
     if d is None:
-        d = "/dev/shm/bench-ckpt" if os.path.isdir("/dev/shm") else os.path.join(_REPO, ".cache")
+        d = ("/dev/shm/bench-ckpt" if _tmpfs_ok(_working_set_bytes(N_FILES))
+             else os.path.join(_REPO, ".cache"))
     os.makedirs(d, exist_ok=True)
     return d
+
+
+# tmpfs shuffle/spill opt-in, capacity-gated (see env block above)
+if os.environ.get("SPARK_GRAFT_TMPFS") is None and _tmpfs_ok(_working_set_bytes(N_FILES)):
+    os.environ["SPARK_GRAFT_TMPFS"] = "1"
 
 
 def ensure_corpus(spark, n_files: int) -> str:
@@ -104,6 +143,11 @@ def run_dedup_bench(spark, n_files: int) -> tuple[float, int]:
 
     path = ensure_corpus(spark, n_files)
     docs = spark.read.parquet(path)
+    # light-stages mode (default for the bench): resumable checkpoints at
+    # the expensive boundaries only (signatures, verified_edges, clusters,
+    # the two deliverables); the cheap narrow stages between them run as
+    # cached plans. BENCH_LIGHT=0 restores the full 13-stage protocol.
+    light = os.environ.get("BENCH_LIGHT", "1") == "1"
     # JIT warm-up (excluded from the timed window, standard JVM bench
     # practice): one pipeline pass over a small slice compiles every
     # codegen'd stage and initializes shuffle/Arrow machinery, so the
@@ -111,7 +155,8 @@ def run_dedup_bench(spark, n_files: int) -> tuple[float, int]:
     if os.environ.get("BENCH_WARMUP", "1") == "1":
         wpath = ensure_corpus(spark, min(4000, n_files))
         wckpt = os.path.join(ckpt_base(), f"warm_{uuid.uuid4().hex[:8]}")
-        wres = run_dedup(spark, spark.read.parquet(wpath), DedupConfig(), checkpoint_dir=wckpt)
+        wres = run_dedup(spark, spark.read.parquet(wpath), DedupConfig(),
+                         checkpoint_dir=wckpt, light_stages=light)
         wres.clusters.count()
         wres.dup_pairs.count()
         shutil.rmtree(wckpt, ignore_errors=True)
@@ -120,7 +165,7 @@ def run_dedup_bench(spark, n_files: int) -> tuple[float, int]:
     # columns), and resumability never carries over between bench runs
     ckpt = os.path.join(ckpt_base(), f"ckpt_{uuid.uuid4().hex[:8]}")
     t0 = time.time()
-    res = run_dedup(spark, docs, DedupConfig(), checkpoint_dir=ckpt)
+    res = run_dedup(spark, docs, DedupConfig(), checkpoint_dir=ckpt, light_stages=light)
     # terminal outputs (cluster_assignments, dup_pairs) are materialized as
     # checkpoint tables by run_dedup itself; row counts come from the
     # write-job Observations in the manifests — no extra count jobs, which
@@ -167,12 +212,19 @@ def main() -> None:
     # protocol as the dedup section below): the FIRST query to touch an
     # Arrow stage otherwise absorbs the one-time python-worker pool spawn
     # (N workers x fork + numpy/pandas import) and first-use codegen —
-    # ~7-9 s billed to whichever query runs first instead of the engine
+    # ~7-9 s billed to whichever query runs first instead of the engine.
+    # The pass's wall seconds are REPORTED (warmup_excluded_s) so
+    # cross-round tables can separate this protocol change (introduced in
+    # round 4) from engine change: the round-3-comparable protocol bills
+    # roughly that one-time cost to the first Arrow query.
+    warmup_excluded_s = 0.0
     if os.environ.get("BENCH_WARMUP", "1") == "1":
         warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
         if os.path.isdir(warm_dir):
+            tw = time.time()
             for name in HEADLINE:
                 qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            warmup_excluded_s = round(time.time() - tw, 3)
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
@@ -192,6 +244,9 @@ def main() -> None:
         "n_files": N_FILES,
         "n_dup_pairs": n_pairs,
         "cpus": CPUS,
+        "warmup_excluded_s": warmup_excluded_s,
+        "light_stages": os.environ.get("BENCH_LIGHT", "1") == "1",
+        "placement": _log_placement(),
     }
     print(json.dumps(out))
 
@@ -314,9 +369,10 @@ def scaling_probe() -> None:
             "The table is rewritten after EVERY attempt, so a killed campaign leaves the\n"
             "completed attempts on record instead of nothing.\n"
             "Protocol per BASELINE.md: full dedup pipeline (sha256 pre-pass, signatures, LSH,\n"
-            "KMV-Jaccard verify, connected components, checkpointed stages), corpus generation\n"
-            "excluded; throughput = files / dedup wall seconds. Corpus + shuffle + checkpoint\n"
-            "store on tmpfs (see 'Storage placement' below).\n\n"
+            "KMV-Jaccard verify, connected components; light-stages checkpoint mode — resumable\n"
+            "parquet checkpoints at the five expensive boundaries, see 'Light-stages mode'),\n"
+            "corpus generation excluded; throughput = files / dedup wall seconds. Corpus +\n"
+            "shuffle + checkpoint store on tmpfs, capacity-gated (see 'Storage placement').\n\n"
             "| parallelism | files/sec | dedup wall sec | host load at start | attempts | tainted |\n"
             "|---|---|---|---|---|---|\n"
             + rows +
@@ -377,6 +433,8 @@ def dedup_only() -> None:
         "queries": {"dedup_pipeline_e2e": round(dedup_sec, 3)},
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
+        "light_stages": os.environ.get("BENCH_LIGHT", "1") == "1",
+        "placement": _log_placement(),
     }
     print(json.dumps(out))
 

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType([
@@ -269,6 +270,31 @@ def extract_features(media: DataFrame, dim: int = 64, fake: bool = True,
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def media_near_dup_pairs(media: DataFrame, dim: int = 64, threshold: float = 0.995,
+                         fake: bool = True, n_tables: int = 16, n_planes: int = 8,
+                         seed: int | None = None) -> DataFrame:
+    """NEAR-duplicate detection for media columns (round-5 task): decode →
+    deterministic feature vector (real PPM/PGM/WAV decode, ``fake`` governs
+    the unsupported-codec fallback) → multi-table hyperplane-LSH cosine
+    pairs. Wires ``extract_features`` into ``ann.cosine_near_dup_pairs``:
+    candidates come from an equi-join on (table, bucket), each verified by
+    the exact cosine — no cross join at any corpus size.
+
+    Note on thresholds: the features are non-negative (stats + pixel grid),
+    so even unrelated images sit at cosine ~0.9; planted perturbed copies
+    sit at ~0.9999. The default threshold 0.995 separates the two regimes
+    (public average-hash-style perturbation detection)."""
+    from datasketches_spark.config import DEFAULT_SEED
+    from datasketches_spark.operators.ann import cosine_near_dup_pairs
+
+    feats = extract_features(media, dim=dim, fake=fake)
+    emb = feats.select(F.col("media_id").alias("vec_id"),
+                       F.col("feature").alias("embedding"))
+    return cosine_near_dup_pairs(
+        emb, dim=dim, threshold=threshold, n_tables=n_tables,
+        n_planes=n_planes, seed=DEFAULT_SEED if seed is None else seed)
+
+
 def synthetic_media(spark, n: int, seed: int = 42, kind: str = "image") -> DataFrame:
     """Deterministic media table for tests: REAL encoded payloads — PPM
     images (kind='image') or WAV PCM16 clips (kind='audio') — so the
@@ -295,6 +321,41 @@ def synthetic_media(spark, n: int, seed: int = 42, kind: str = "image") -> DataF
                     payload = encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
                     mime, meta = "image/x-portable-pixmap", {"w": str(w), "h": str(h)}
                 rows.append((mid, kind, mime, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthetic_media_with_near_dups(spark, n: int, seed: int = 42,
+                                   roles: int = 5, dup_role: int = 4) -> DataFrame:
+    """Deterministic image table with PLANTED near-duplicates: every id with
+    ``id % roles == dup_role`` carries a slightly-perturbed copy of id-1's
+    image (a handful of pixels nudged by ±1 grey level — the classic
+    average-hash/DCT-perceptual-dup scenario); all other ids are
+    independent random images. Ground truth: pairs (id-1, id) for those
+    ids."""
+    assert 1 <= dup_role < roles
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                is_dup = mid % roles == dup_role
+                base = mid - 1 if is_dup else mid
+                rng = np.random.Generator(np.random.Philox(key=seed, counter=[base, 1, 0, 0]))
+                h, w = 8 + int(rng.integers(0, 8)), 8 + int(rng.integers(0, 8))
+                px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                if is_dup:
+                    prng = np.random.Generator(
+                        np.random.Philox(key=seed, counter=[mid, 2, 0, 0]))
+                    flat = px.astype(np.int16).ravel()
+                    idx = prng.integers(0, flat.size, size=4)
+                    flat[idx] = np.clip(
+                        flat[idx] + prng.choice([-1, 1], size=4), 0, 255)
+                    px = flat.astype(np.uint8).reshape(h, w, 3)
+                rows.append((mid, "image", "image/x-portable-pixmap",
+                             encode_ppm(px), {"base": str(base)}))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload", "meta"])
 
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
