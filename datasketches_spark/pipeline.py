@@ -174,8 +174,19 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     # broadcast the eligible-bucket side of candidate generation when its
     # observed count fits comfortably in memory (~48B/row); at web scale
     # the count is huge and this stays a shuffle join
-    bucket_obs = (store.manifest("bucket_stats") or {}).get("observed", {})
-    n_eligible = bucket_obs.get("n_eligible_buckets")
+    _verify_ups = ["signatures", "bands", "bucket_stats"]
+    if light_stages and checkpoint_dir and not store.is_valid(
+            "verified_edges", store._resolve_upstream(_verify_ups)):
+        # no write-job Observation in light mode: one tiny count over the
+        # cached non-singleton stats stands in (it materializes the bands
+        # and stats caches, which the verify stage needs immediately after
+        # anyway — without the hint the full band table would be
+        # shuffle-joined instead of map-side broadcast-joined). Skipped on
+        # resume: a valid verified_edges never needs the caches at all.
+        n_eligible = stats.count()
+    else:
+        bucket_obs = (store.manifest("bucket_stats") or {}).get("observed", {})
+        n_eligible = bucket_obs.get("n_eligible_buckets")
     bcast_eligible = n_eligible is not None and n_eligible * 48 < 256 * 1024 * 1024
 
     _, dropped = lsh.candidate_edges(bands, cfg, stats)
@@ -212,7 +223,12 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
             _os.path.join(checkpoint_dir, "_spark_checkpoints"))
     clusters_nontrivial = store.stage(
         "clusters",
-        lambda: connected_components(all_edges, reliable=bool(checkpoint_dir)),
+        # light mode: CC rounds truncate lineage with localCheckpoint (the
+        # same executor-local trade the verify sub-stages make there);
+        # reliable rounds remain the default-mode behavior for preemptible
+        # clusters
+        lambda: connected_components(
+            all_edges, reliable=bool(checkpoint_dir) and not light_stages),
         upstream=["verified_edges", "exact_groups"],
     )
     # the deliverable per-doc assignment table (singletons included) is
