@@ -190,7 +190,8 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
                  participants_hint: int | None = None,
                  participant_broadcast_max: int = 4_000_000,
                  with_bounds: bool = False,
-                 num_std_devs: float = 2.0) -> DataFrame:
+                 num_std_devs: float = 2.0,
+                 participants_df: DataFrame | None = None) -> DataFrame:
     """pairs(id_a, id_b) × signatures → (id_a, id_b, jaccard_kmv,
     jaccard_minhash) filtered at cfg.jaccard_threshold.
 
@@ -212,6 +213,13 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
     shuffled at full width; the pair joins shuffle just the participating
     rows. With no hint (or a too-large bound) the plain shuffle joins run
     and AQE picks strategies at runtime.
+
+    ``participants_df``: an explicit (doc_id) superset of the pair
+    participants, used for the semi-filter INSTEAD of re-deriving the ids
+    from ``pairs``. Deriving from ``pairs`` executes the pair plan twice
+    (ids broadcast + join probe); when the caller holds a cheaper superset
+    plan (e.g. bucket membership), passing it keeps the pair plan
+    single-execution. Ignored unless the hint gates the broadcast on.
     """
     s = sig.select(
         F.col("doc_id"),
@@ -220,7 +228,7 @@ def verify_pairs(pairs: DataFrame, sig: DataFrame, cfg: DedupConfig,
         F.col("kmv_theta"),
     )
     if participants_hint is not None and participants_hint <= participant_broadcast_max:
-        ids = (
+        ids = participants_df if participants_df is not None else (
             pairs.select(F.col(left_col).alias("doc_id"))
             .unionByName(pairs.select(F.col(right_col).alias("doc_id")))
             .distinct()
@@ -397,9 +405,15 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
         )
     # the fallback participant set is bounded by bad-bucket membership —
     # at most n_bad × bucket_cap doc ids — so the verify broadcast decision
-    # needs no materialized count.
+    # needs no materialized count. The ids come from the bucket-membership
+    # plan (bb) directly, NOT from fb_pairs: deriving them from the pairs
+    # would execute the cap²-bounded self-join subtree twice (ids + probe).
     n_fb_partic = n_bad * cfg.bucket_cap if n_bad is not None else None
-    fb_v = verify_pairs(fb_pairs, sig, cfg, participants_hint=n_fb_partic)
-    return (
-        passed.unionByName(fb_v).dropDuplicates(["id_a", "id_b"])
-    )
+    fb_v = verify_pairs(fb_pairs, sig, cfg, participants_hint=n_fb_partic,
+                        participants_df=bb.select("doc_id").distinct())
+    # the union is duplicate-free by construction — star edges are distinct
+    # with id_a = bucket-min < id_b, fb_pairs are distinct with id_a < id_b
+    # and anti-joined against passed — so no terminal dropDuplicates
+    # shuffle. (pipeline._expand_pairs dedups once more across edge KINDS,
+    # where exact/near overlap is possible.)
+    return passed.unionByName(fb_v)

@@ -87,7 +87,10 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
 
     exact_groups = store.stage(
         "exact_groups", lambda: exact_dedup.exact_dup_groups(hashed),
-        upstream=["docs_meta"], light=True,
+        # light mode: cached — exact_edges is consumed by BOTH the clusters
+        # stage (all_edges) and dup_pairs; uncached, the groupBy would
+        # re-run once per consumer
+        upstream=["docs_meta"], light=True, cache=True,
     )
     exact_edges = exact_dedup.exact_dup_edges(hashed, exact_groups)
     if persist:

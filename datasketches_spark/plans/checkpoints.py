@@ -234,8 +234,14 @@ class CheckpointStore:
         t0 = time.time()
         if self.enabled and self.light and light:
             df = compute()
-            if min_partitions and df.rdd.getNumPartitions() < min_partitions:
-                df = df.repartition(min_partitions)
+            # min_partitions is deliberately IGNORED here: probing
+            # ``df.rdd.getNumPartitions()`` on an AQE plan executes its
+            # shuffle stages eagerly (AQE must run them to know the final
+            # partitioning), silently computing the whole subtree once and
+            # throwing the result away — measured as a full extra pass over
+            # the corpus in light mode. Light plans flow into consumers
+            # whose own shuffles set task counts; only a PARQUET checkpoint
+            # needs an explicit file-count floor.
             if cache:
                 df = df.persist()
                 self._cached.append(df)

@@ -62,7 +62,11 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
         .config("spark.buffer.pageSize", "2m")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves ~0.3s startup + a jetty thread pool);
+        # SPARK_GRAFT_UI=1 turns it on so the REST API's per-job timings
+        # are available when profiling a regression
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false")
         # NO TransparentHugePages / AlwaysPreTouch: measured CATASTROPHIC
         # anti-scaling at high thread counts in this environment (pure-JVM
         # sha256+groupBy on identical input: 2.3s at local[8] vs 116s at
