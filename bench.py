@@ -225,15 +225,23 @@ def main() -> None:
             for name in HEADLINE:
                 qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
             warmup_excluded_s = round(time.time() - tw, 3)
+    # the HEADLINE dedup e2e is timed FIRST (right after the warm-up pass,
+    # before the 13 standalone queries): the queries leave localCheckpoint
+    # blocks and heap garbage in the session that previously taxed the
+    # flagship number with GC pauses unrelated to the pipeline under test.
+    # A GC sweep clears the warm-up pass's own debris first.
+    import gc as _gc
+    _gc.collect()
+    spark._jvm.System.gc()
+    dedup_sec, n_pairs = run_dedup_bench(spark, N_FILES)
+    files_per_sec = N_FILES / dedup_sec
+
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
-
-    dedup_sec, n_pairs = run_dedup_bench(spark, N_FILES)
     qtimes["dedup_pipeline_e2e"] = round(dedup_sec, 3)
-    files_per_sec = N_FILES / dedup_sec
 
     out = {
         "metric": "files/sec end-to-end dedup throughput",

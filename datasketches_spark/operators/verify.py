@@ -268,6 +268,7 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
                                     store=None,
                                     store_upstream: list[str] | None = None,
                                     bad_bucket_broadcast_max_bytes: int = 64 * 1024 * 1024,
+                                    n_memb_hint: int | None = None,
                                     ) -> DataFrame:
     """Star-edge verification with a per-bucket pair fallback that closes
     the false-positive-representative recall hole: if a bucket's rep r is an
@@ -292,7 +293,11 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     def _materialize(name: str, compute, upstream: list[str]):
         if store is not None and getattr(store, "enabled", False):
             return store.stage(name, compute, upstream=upstream)
-        return compute().localCheckpoint()
+        # eager=False: materialization rides the FIRST consuming action
+        # instead of costing a dedicated job per sub-stage (the consumers
+        # below run strictly sequentially, so there is no cold-cache race);
+        # lineage is truncated either way
+        return compute().localCheckpoint(eager=False)
 
     def _n_rows(name: str, df: DataFrame) -> int:
         """Row count of a materialized table: free off the write-job
@@ -315,36 +320,44 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
         # no shuffle of the 40x-corpus-sized band table. At true web scale
         # the count is large and the caller leaves this off (shuffle join).
         eligible = F.broadcast(eligible)
-    memb = bands.join(eligible, ["band", "bhash"])  # (band, bhash, doc_id, rep)
-    # materialize the RAW star edges first (3 longs per row — tiny): the
-    # verify subtree then consumes a materialized table instead of
-    # re-running candidate generation per consumer (the bands scan — the
-    # largest narrow table in the pipeline — must run exactly once), and
-    # the edge count (free off the write Observation) bounds the
-    # participant-id set so verify_pairs can broadcast-semi-filter the wide
-    # signature table instead of shuffling every 32 KB row through two
-    # joins.
+    # materialize ELIGIBLE BUCKET MEMBERSHIP once (band, bhash, doc_id,
+    # rep — 4 longs per member of a non-singleton within-cap bucket): it is
+    # the shared root of everything downstream — star edges, the verify
+    # participant-id set, failed-rep bucket detection AND the fallback
+    # pair re-enumeration all derive from it with narrow ops, so the bands
+    # scan (the largest narrow table in the pipeline) runs exactly once
+    # and no later step re-joins bands against bucket stats. Row count ==
+    # sum of eligible bucket sizes, the same order as the star-edge count.
     ups = store_upstream or []
-    star = _materialize(
-        "star_edges",
-        lambda: (
-            memb.filter(F.col("doc_id") != F.col("rep"))
-            .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
-            .distinct()
-        ),
+    memb = _materialize(
+        "bucket_membership",
+        lambda: bands.join(eligible, ["band", "bhash"]),
         upstream=ups,
     )
-    n_star = _n_rows("star_edges", star)
-    star_ups = ups + (["star_edges"] if store is not None
+    # ``n_memb_hint``: the caller may already know the membership row count
+    # (sum of eligible bucket sizes — e.g. observed in the same job that
+    # counted eligible buckets), saving the count action here
+    n_memb = n_memb_hint if n_memb_hint is not None else _n_rows(
+        "bucket_membership", memb)
+    memb_ups = ups + (["bucket_membership"] if store is not None
                       and getattr(store, "enabled", False) else [])
+    # star edges stay LAZY off the materialized membership: consumed
+    # exactly once (the verify probe side) now that the participant-id
+    # broadcast derives from memb instead of from the pair plan
+    star = (
+        memb.filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
     # materialize the verified star edges once: passed/failed/fb_pairs all
     # reference this subtree, and Spark re-executes unshared subplans —
     # without this the 2-join verify would run 3-4x.
     star_v = _materialize(
         "star_verified",
         lambda: verify_pairs(star, sig, cfg, keep_below_threshold=True,
-                             participants_hint=2 * n_star),
-        upstream=star_ups,
+                             participants_hint=n_memb,
+                             participants_df=memb.select("doc_id").distinct()),
+        upstream=memb_ups,
     )
     passed = star_v.filter(F.col("jaccard_kmv") >= F.lit(cfg.jaccard_threshold))
     failed = star_v.filter(F.col("jaccard_kmv") < F.lit(cfg.jaccard_threshold))
@@ -361,8 +374,8 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
             .select("band", "bhash")
             .distinct()
         ),
-        upstream=ups + (["star_verified"] if store is not None
-                        and getattr(store, "enabled", False) else []),
+        upstream=memb_ups + (["star_verified"] if store is not None
+                             and getattr(store, "enabled", False) else []),
     )
     # broadcast bad_buckets into the bands re-scan ONLY when its measured
     # row count fits (store path: free via the write-job Observation;
@@ -374,10 +387,11 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     else:
         n_bad = bad_buckets.count()
     bcast_ok = n_bad is not None and n_bad * 24 < bad_bucket_broadcast_max_bytes
-    # bad buckets are eligible by construction (came from memb), so the
-    # stats join is not needed again here
-    bb = bands.join(F.broadcast(bad_buckets) if bcast_ok else bad_buckets,
-                    ["band", "bhash"])
+    # bad buckets are eligible by construction (came from memb), so their
+    # full membership is a subset of the MATERIALIZED memb table — re-scan
+    # that, never the far larger raw band table
+    bb = memb.join(F.broadcast(bad_buckets) if bcast_ok else bad_buckets,
+                   ["band", "bhash"])
     a = bb.select("band", "bhash", F.col("doc_id").alias("id_a"))
     b = bb.select("band", "bhash", F.col("doc_id").alias("id_b"))
     fb_pairs = (
@@ -399,9 +413,9 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     if n_bad is not None and n_bad > int(os.environ.get("DSS_FB_MATERIALIZE_BAD", "20000")):
         fb_pairs = _materialize(
             "fallback_pairs", lambda: fb_pairs,
-            upstream=ups + (["star_verified", "bad_buckets"]
-                            if store is not None and getattr(store, "enabled", False)
-                            else []),
+            upstream=memb_ups + (["star_verified", "bad_buckets"]
+                                 if store is not None and getattr(store, "enabled", False)
+                                 else []),
         )
     # the fallback participant set is bounded by bad-bucket membership —
     # at most n_bad × bucket_cap doc ids — so the verify broadcast decision

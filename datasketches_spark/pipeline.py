@@ -49,6 +49,37 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
               checkpoint_dir: str | None = None, id_col: str = "id",
               collect_metrics: bool = False,
               light_stages: bool = False) -> DedupResult:
+    """See ``_run_dedup_impl``. In light mode the run additionally switches
+    the session to STATIC planning (AQE off) for its duration: AQE submits
+    one Spark job per query stage, and in constrained single-node
+    environments a job costs ~0.2-0.7 s of fixed scheduler latency — the
+    pipeline dropped from 79 jobs to 27 (same outputs) with AQE off, which
+    is most of light mode's fixed floor. Runtime re-planning buys nothing
+    at light-mode scale anyway: every join that must broadcast is already
+    count-guarded by the pipeline itself. Default (heavy) mode keeps AQE —
+    at web scale its skew-join splitting and runtime re-planning are
+    load-bearing and the per-job floor is noise."""
+    if not light_stages:
+        return _run_dedup_impl(spark, docs, cfg, checkpoint_dir, id_col,
+                               collect_metrics, light_stages)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # every pipeline-internal action (stage writes, caches, CC rounds)
+        # runs inside this window; the returned heavy tables are parquet
+        # read-backs whose later consumption doesn't care about AQE
+        return _run_dedup_impl(spark, docs, cfg, checkpoint_dir, id_col,
+                               collect_metrics, light_stages)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
+                    checkpoint_dir: str | None = None, id_col: str = "id",
+                    collect_metrics: bool = False,
+                    light_stages: bool = False) -> DedupResult:
     """``light_stages=True`` keeps resumable parquet checkpoints only at
     the EXPENSIVE stage boundaries (signatures, verified_edges, clusters,
     and the two deliverable tables); the cheap narrow stages between them
@@ -135,6 +166,21 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         sig = sig.persist()
         sig.count()
 
+    if light_stages and checkpoint_dir:
+        # static planning (AQE off) means no runtime partition coalescing,
+        # so post-signature shuffles — all over NARROW tables 2-4 orders of
+        # magnitude smaller than the corpus — would each run
+        # shuffle.partitions tiny tasks (the CC stage alone ran 1100+ tasks
+        # on a 7k-edge graph). Size them from the OBSERVED signature row
+        # count instead (free off the write-job manifest): ~5k signature
+        # rows per partition, floored at 16 for parallelism, capped at the
+        # session setting. Restored by the run_dedup wrapper.
+        n_sig = (store.manifest("signatures") or {}).get("n_rows")
+        if n_sig:
+            cur_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            p_small = max(16, min(cur_sp, n_sig // 5000 + 1))
+            spark.conf.set("spark.sql.shuffle.partitions", str(p_small))
+
     # the band table is consumed by FIVE subtrees (bucket stats, star-edge
     # membership, bad-bucket re-scan, both sides of the fallback self-join);
     # left as a plan, each consumer re-reads the wide signature parquet and
@@ -178,15 +224,22 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     # observed count fits comfortably in memory (~48B/row); at web scale
     # the count is huge and this stays a shuffle join
     _verify_ups = ["signatures", "bands", "bucket_stats"]
+    n_memb_hint = None
     if light_stages and checkpoint_dir and not store.is_valid(
             "verified_edges", store._resolve_upstream(_verify_ups)):
-        # no write-job Observation in light mode: one tiny count over the
-        # cached non-singleton stats stands in (it materializes the bands
-        # and stats caches, which the verify stage needs immediately after
-        # anyway — without the hint the full band table would be
-        # shuffle-joined instead of map-side broadcast-joined). Skipped on
-        # resume: a valid verified_edges never needs the caches at all.
-        n_eligible = stats.count()
+        # no write-job Observation in light mode, and no dedicated count
+        # job either (a job costs ~0.2-0.7 s of fixed latency here): gate
+        # the eligible-bucket broadcast on the WORST-CASE bound derivable
+        # from the signature manifest — every band row its own eligible
+        # bucket, i.e. bands × n_sig rows ≈ 48 bytes each. Within the
+        # bound, the broadcast-exchange job that builds the eligible side
+        # is also what materializes the bands/stats caches (same work the
+        # count job used to do, now riding a job that must run anyway).
+        # Past the bound the join runs as a plain shuffle join — correct,
+        # just not map-side. Skipped on resume: a valid verified_edges
+        # never needs the caches at all.
+        n_sig_rows = (store.manifest("signatures") or {}).get("n_rows")
+        n_eligible = (n_sig_rows * cfg.bands) if n_sig_rows else None
     else:
         bucket_obs = (store.manifest("bucket_stats") or {}).get("observed", {})
         n_eligible = bucket_obs.get("n_eligible_buckets")
@@ -205,7 +258,8 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         lambda: verify.verify_star_edges_with_fallback(
             bands, stats, sig, cfg, broadcast_eligible=bcast_eligible,
             store=None if light_stages else store,
-            store_upstream=["signatures", "bands", "bucket_stats"]),
+            store_upstream=["signatures", "bands", "bucket_stats"],
+            n_memb_hint=n_memb_hint),
         upstream=["signatures", "bands", "bucket_stats"],
     )
     if persist:

@@ -232,6 +232,10 @@ class CheckpointStore:
         through skipped stages to the nearest checkpointed ancestors."""
         upstream = upstream or []
         t0 = time.time()
+        # label every Spark job fired under this stage (shows up in the UI
+        # REST API / event logs — how a regression gets attributed to a
+        # stage without guessing)
+        self.spark.sparkContext.setJobDescription(f"stage:{name}")
         if self.enabled and self.light and light:
             df = compute()
             # min_partitions is deliberately IGNORED here: probing
