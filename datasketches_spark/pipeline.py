@@ -227,19 +227,33 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     n_memb_hint = None
     if light_stages and checkpoint_dir and not store.is_valid(
             "verified_edges", store._resolve_upstream(_verify_ups)):
-        # no write-job Observation in light mode, and no dedicated count
-        # job either (a job costs ~0.2-0.7 s of fixed latency here): gate
-        # the eligible-bucket broadcast on the WORST-CASE bound derivable
-        # from the signature manifest — every band row its own eligible
-        # bucket, i.e. bands × n_sig rows ≈ 48 bytes each. Within the
-        # bound, the broadcast-exchange job that builds the eligible side
-        # is also what materializes the bands/stats caches (same work the
-        # count job used to do, now riding a job that must run anyway).
-        # Past the bound the join runs as a plain shuffle join — correct,
-        # just not map-side. Skipped on resume: a valid verified_edges
-        # never needs the caches at all.
+        # no write-job Observation in light mode. Small corpora skip the
+        # count job too (a job costs ~0.2-0.7 s of fixed latency here):
+        # when even the WORST-CASE bound off the signature manifest —
+        # every band row its own eligible bucket, bands × n_sig rows ×
+        # ~48 B — fits the broadcast budget, the decision needs no
+        # measurement, and the broadcast-exchange job that builds the
+        # eligible side doubles as the bands/stats cache materializer.
+        # Larger corpora (where the worst case overshoots but the REAL
+        # count is usually still broadcastable — non-singleton buckets
+        # are a tiny fraction) pay ONE aggregation job for an informed
+        # decision; at that scale the job is amortized anyway. The same
+        # job sums eligible bucket sizes == the bucket-membership row
+        # count, saving the verify stage its own count action. Skipped on
+        # resume: a valid verified_edges never needs the caches at all.
         n_sig_rows = (store.manifest("signatures") or {}).get("n_rows")
-        n_eligible = (n_sig_rows * cfg.bands) if n_sig_rows else None
+        worst = n_sig_rows * cfg.bands if n_sig_rows else None
+        if worst is not None and worst * 48 < 256 * 1024 * 1024:
+            n_eligible = worst
+        else:
+            spark.sparkContext.setJobDescription("hint:n_eligible")
+            _elig = F.col("bucket_size") <= cfg.bucket_cap  # stats already > 1
+            row = stats.select(
+                F.count(F.when(_elig, 1)).alias("n_eligible"),
+                F.sum(F.when(_elig, F.col("bucket_size"))).alias("n_memb"),
+            ).first()
+            n_eligible = int(row["n_eligible"])
+            n_memb_hint = int(row["n_memb"] or 0)
     else:
         bucket_obs = (store.manifest("bucket_stats") or {}).get("observed", {})
         n_eligible = bucket_obs.get("n_eligible_buckets")
