@@ -55,7 +55,10 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
     )
-    res = run_dedup(spark, docs, CFG)
+    # light_stages: interactive single-query path — persist-backed plans,
+    # static planning during the pipeline-internal actions (the per-job
+    # scheduler floor dominates at this scale), no checkpoint store
+    res = run_dedup(spark, docs, CFG, light_stages=True)
     return res.clusters.join(res.docs.select("doc_id", "sha256"), "doc_id")
 
 
@@ -333,7 +336,10 @@ def _q_dedup_clusters(spark, sf_dir):
         F.col("lang"),
         F.col("text").alias("content"),
     )
-    res = run_dedup(spark, docs, CFG)
+    # light_stages: interactive single-query path — persist-backed plans,
+    # static planning during the pipeline-internal actions (the per-job
+    # scheduler floor dominates at this scale), no checkpoint store
+    res = run_dedup(spark, docs, CFG, light_stages=True)
     return res.clusters
 
 

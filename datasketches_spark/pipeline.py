@@ -153,33 +153,51 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     # no min_partitions here: the input checkpoint already carries n_cores
     # files, and mapInPandas preserves partitioning — a repartition would
     # shuffle the wide signature arrays for nothing
+    if light_stages and checkpoint_dir:
+        # in light mode the signature stage computes straight off the lazy
+        # distinct-content plan, so its task count IS the distinct
+        # shuffle's partition count. The session default (2x cores, e.g.
+        # 16 at local[8]) gives the pipeline's one compute-heavy stage
+        # tasks of ~60+ core-seconds at probe scale — lumpy waves and
+        # straggler idle. Match the checkpointed path's file-count floor
+        # (>= 64) for exactly this stage; the partition sizing AFTER the
+        # signature write shrinks it back down for the narrow tables.
+        prev_sig_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(max(64, prev_sig_sp)))
     sig = store.stage(
         "signatures",
         lambda: build_signatures(reps, cfg),
         upstream=["distinct_reps"],
     )
+    if light_stages and checkpoint_dir:
+        spark.conf.set("spark.sql.shuffle.partitions", str(prev_sig_sp))
+    n_sig_rows = None
     if persist:
         # eager materialization: downstream plans reference this cache from
         # several subtrees (band table, verify a-side, verify b-side); if
         # the cache is still cold those subtrees each recompute the whole
-        # signature stage concurrently
+        # signature stage concurrently. The count doubles as the signature
+        # row count the light-mode sizing below would otherwise read off
+        # the write-job manifest.
         sig = sig.persist()
-        sig.count()
+        n_sig_rows = sig.count()
+    elif checkpoint_dir:
+        n_sig_rows = (store.manifest("signatures") or {}).get("n_rows")
 
-    if light_stages and checkpoint_dir:
+    if light_stages and n_sig_rows:
         # static planning (AQE off) means no runtime partition coalescing,
         # so post-signature shuffles — all over NARROW tables 2-4 orders of
         # magnitude smaller than the corpus — would each run
         # shuffle.partitions tiny tasks (the CC stage alone ran 1100+ tasks
         # on a 7k-edge graph). Size them from the OBSERVED signature row
-        # count instead (free off the write-job manifest): ~5k signature
-        # rows per partition, floored at 16 for parallelism, capped at the
-        # session setting. Restored by the run_dedup wrapper.
-        n_sig = (store.manifest("signatures") or {}).get("n_rows")
-        if n_sig:
-            cur_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            p_small = max(16, min(cur_sp, n_sig // 5000 + 1))
-            spark.conf.set("spark.sql.shuffle.partitions", str(p_small))
+        # count instead (free off the write-job manifest / the persist
+        # count): ~5k signature rows per partition, floored at 16 for
+        # parallelism, capped at the session setting. Restored by the
+        # run_dedup wrapper.
+        cur_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        p_small = max(16, min(cur_sp, n_sig_rows // 5000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(p_small))
 
     # the band table is consumed by FIVE subtrees (bucket stats, star-edge
     # membership, bad-bucket re-scan, both sides of the fallback self-join);
@@ -225,8 +243,8 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     # the count is huge and this stays a shuffle join
     _verify_ups = ["signatures", "bands", "bucket_stats"]
     n_memb_hint = None
-    if light_stages and checkpoint_dir and not store.is_valid(
-            "verified_edges", store._resolve_upstream(_verify_ups)):
+    if light_stages and (persist or not store.is_valid(
+            "verified_edges", store._resolve_upstream(_verify_ups))):
         # no write-job Observation in light mode. Small corpora skip the
         # count job too (a job costs ~0.2-0.7 s of fixed latency here):
         # when even the WORST-CASE bound off the signature manifest —
@@ -241,7 +259,6 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         # job sums eligible bucket sizes == the bucket-membership row
         # count, saving the verify stage its own count action. Skipped on
         # resume: a valid verified_edges never needs the caches at all.
-        n_sig_rows = (store.manifest("signatures") or {}).get("n_rows")
         worst = n_sig_rows * cfg.bands if n_sig_rows else None
         if worst is not None and worst * 48 < 256 * 1024 * 1024:
             n_eligible = worst
