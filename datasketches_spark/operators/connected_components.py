@@ -13,8 +13,18 @@ pathological chains.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Both star operations need "the minimum of u's neighborhood, attached to
+# every row of u's neighborhood" — a groupBy-min JOINED back on u costs two
+# shuffles of the full edge table on the same key; a window aggregate over
+# partitionBy(u) computes and attaches the min in ONE shuffle. Same hash
+# partitioning on u either way (a hot vertex lands in one partition under
+# both forms — AQE skew handling applies to neither; the star algorithm
+# itself bounds neighborhood growth), but the window form moves the edge
+# table through the exchange once instead of twice, every round, at every
+# scale.
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -22,12 +32,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
     # no distinct here: small-star's terminal distinct dedups, saving one
     # shuffle per round
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
     )
@@ -38,14 +47,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     d = edges.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))
-    nbr_edges = (
-        d.join(mins, "u")
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-    )
-    self_edges = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    dm = d.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    # the self edge (u, m) is emitted once per neighbor instead of once per
+    # u; the terminal distinct (needed anyway) collapses the copies
     return (
-        nbr_edges.unionAll(self_edges)
+        dm.select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .unionAll(dm.select(F.col("u").alias("src"), F.col("m").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -124,7 +131,12 @@ def connected_components(edges: DataFrame, max_iterations: int = 25,
                 p.unpersist()
 
     cur = _ckpt(_small_star(edges))
-    prev_sig = _checksum(cur)
+    # no dedicated checksum job on the initial small-star: its lazy
+    # checkpoint materializes inside round 1's checksum job anyway, and the
+    # first comparison (vs None) just declares "not converged yet" — the
+    # convergence proof only ever needs two checksummed states to agree,
+    # not a baseline before round 1. Saves one full Spark job per run.
+    prev_sig: tuple[int, int] | None = None
     converged = False
     for it in range(max_iterations):
         cur = _advance(_ckpt(_small_star(_large_star(cur))), cur)

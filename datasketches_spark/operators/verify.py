@@ -307,7 +307,14 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
             n = (store.manifest(name) or {}).get("n_rows")
             if n is not None:
                 return int(n)
-        return df.count()
+        # finer label than the enclosing stage: count actions here are the
+        # verify chain's only dedicated jobs — attribution without guessing
+        sc = df.sparkSession.sparkContext
+        sc.setJobDescription(f"stage:verified_edges/{name}_count")
+        try:
+            return df.count()
+        finally:
+            sc.setJobDescription("stage:verified_edges")
 
     eligible = stats.filter(
         (F.col("bucket_size") > 1) & (F.col("bucket_size") <= cfg.bucket_cap)
@@ -394,12 +401,27 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
                    ["band", "bhash"])
     a = bb.select("band", "bhash", F.col("doc_id").alias("id_a"))
     b = bb.select("band", "bhash", F.col("doc_id").alias("id_b"))
+    # bb's row count is bounded by n_bad x bucket_cap (~24 B/row), so the
+    # intra-bucket self-join can broadcast its build side under the same
+    # measured gate as bad_buckets itself — and the anti-join's build side
+    # (passed star edges, <= n_memb rows x ~16 B) under the membership
+    # bound. Under static planning (light mode) these hints are the
+    # difference between map-side joins and three full shuffle stages of
+    # fixed scheduler latency each; with AQE they match what runtime
+    # re-planning would pick anyway. Both gates fail closed to shuffles at
+    # web scale.
+    fb_b_ok = (n_bad is not None
+               and n_bad * cfg.bucket_cap * 24 < bad_bucket_broadcast_max_bytes)
+    passed_ok = (n_memb is not None
+                 and n_memb * 16 < bad_bucket_broadcast_max_bytes)
     fb_pairs = (
-        a.join(b, ["band", "bhash"])
+        a.join(F.broadcast(b) if fb_b_ok else b, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .join(passed.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .join(F.broadcast(passed.select("id_a", "id_b")) if passed_ok
+              else passed.select("id_a", "id_b"),
+              ["id_a", "id_b"], "left_anti")
     )
     # verify_pairs consumes the pair plan TWICE when it broadcasts the
     # participant-id set (distinct-ids side + join probe side). On a clean

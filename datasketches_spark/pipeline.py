@@ -262,6 +262,16 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         worst = n_sig_rows * cfg.bands if n_sig_rows else None
         if worst is not None and worst * 48 < 256 * 1024 * 1024:
             n_eligible = worst
+            # the same bound covers bucket MEMBERSHIP rows (every doc sits
+            # in <= bands buckets, so members-of-eligible-buckets <= band
+            # rows == worst): passing it saves the verify chain its own
+            # membership count job (~one full job of fixed latency). Only
+            # when the bound also clears the participant-broadcast gate —
+            # an overestimate in between would wrongly DISABLE the wide-row
+            # semi-filter broadcast a real count would enable; there the
+            # verify chain's own count is the right call (and amortized).
+            if worst <= 4_000_000:
+                n_memb_hint = worst
         else:
             spark.sparkContext.setJobDescription("hint:n_eligible")
             _elig = F.col("bucket_size") <= cfg.bucket_cap  # stats already > 1
@@ -296,6 +306,25 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     if persist:
         verified = verified.persist()
         verified.count()
+
+    # dup_pairs depends only on verified + exact edges — NOT on the CC
+    # chain — so its write job can run concurrently with the cluster
+    # rounds (thread-safe: Spark job submission is designed for concurrent
+    # driver threads, pinned-thread mode keeps job descriptions separate,
+    # and the two stages write disjoint store keys). Overlapping it hides
+    # the stage's full fixed cost behind CC wall time. Span mode keeps the
+    # serial order (span_pairs feeds dup_pairs); store-less mode has no
+    # write jobs to overlap.
+    dup_fut = None
+    if store.enabled and not cfg.span_pass:
+        from concurrent.futures import ThreadPoolExecutor
+        _dup_pool = ThreadPoolExecutor(max_workers=1)
+        dup_fut = _dup_pool.submit(
+            store.stage, "dup_pairs",
+            lambda: _expand_pairs(verified, exact_edges, None),
+            upstream=["verified_edges", "exact_groups"],
+        )
+        _dup_pool.shutdown(wait=False)
 
     all_edges = (
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -359,12 +388,15 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
             span_verified = span_verified.persist()
 
     # report pairs: verified near-dup edges plus exact-dup pairs (via reps)
-    dup_pairs = store.stage(
-        "dup_pairs",
-        lambda: _expand_pairs(verified, exact_edges, span_verified),
-        upstream=["verified_edges", "exact_groups"]
-        + (["span_pairs"] if cfg.span_pass else []),
-    )
+    if dup_fut is not None:
+        dup_pairs = dup_fut.result()
+    else:
+        dup_pairs = store.stage(
+            "dup_pairs",
+            lambda: _expand_pairs(verified, exact_edges, span_verified),
+            upstream=["verified_edges", "exact_groups"]
+            + (["span_pairs"] if cfg.span_pass else []),
+        )
 
     metrics = {"lsh_threshold": cfg.lsh_threshold}
     if checkpoint_dir:
