@@ -324,8 +324,29 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
             lambda: _expand_pairs(verified, exact_edges, None),
             upstream=["verified_edges", "exact_groups"],
         )
+        # if the CC chain below raises, the in-flight write must still be
+        # awaited before the error propagates — never leave a daemon thread
+        # writing into the store behind an exception the caller is handling
         _dup_pool.shutdown(wait=False)
+        try:
+            return _finish_dedup(spark, store, cfg, checkpoint_dir, persist,
+                                 collect_metrics, light_stages, hashed, reps,
+                                 sig, exact_edges, verified, dup_fut, dropped)
+        except BaseException:
+            from concurrent.futures import wait as _fwait
+            _fwait([dup_fut])
+            raise
+    return _finish_dedup(spark, store, cfg, checkpoint_dir, persist,
+                         collect_metrics, light_stages, hashed, reps, sig,
+                         exact_edges, verified, None, dropped)
 
+
+def _finish_dedup(spark, store, cfg, checkpoint_dir, persist, collect_metrics,
+                  light_stages, hashed, reps, sig, exact_edges, verified,
+                  dup_fut, dropped) -> DedupResult:
+    """Clustering, span pass, pair assembly and metrics — the tail of
+    ``_run_dedup_impl``, split out so the concurrent dup_pairs write can be
+    awaited on the error path without a try block spanning 100 lines."""
     all_edges = (
         verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(exact_edges)
