@@ -228,3 +228,33 @@ def test_media_near_dups_fake_codec_path(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            media_near_dup_pairs(media, dim=32, threshold=0.999, fake=True).collect()}
     assert (0, 1) in got and not any(2 in p for p in got)
+
+
+# ---------------------------------------- light-mode job-count regression
+
+def test_light_mode_job_count_bounded(spark, tmp_path):
+    """The light-stages fixed floor is (jobs x per-job scheduler latency);
+    round 5 holds the full pipeline at ~16-21 jobs. Pin a ceiling via a
+    job group so a regression back toward the 79-job AQE-per-query-stage
+    regime (or a new accidental count/materialization action) fails
+    loudly. The bound is deliberately loose: job count varies a little
+    with corpus content (fallback buckets, broadcast builds), never by
+    tens."""
+    from datasketches_spark.pipeline import run_dedup
+    from datasketches_spark.sources.corpus import generate_corpus
+
+    cpath = str(tmp_path / "corpus")
+    generate_corpus(spark, 400, seed=11).write.parquet(cpath)
+    corpus = spark.read.parquet(cpath)
+    sc = spark.sparkContext
+    sc.setJobGroup("light_job_count", "job-count regression probe")
+    try:
+        res = run_dedup(spark, corpus, CFG, checkpoint_dir=str(tmp_path / "ck"),
+                        light_stages=True)
+        assert res.clusters.count() == 400
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("light_job_count")
+    # the terminal clusters.count() above is included; 25 is ~2x headroom
+    # over the measured count and ~3x under the pre-light-mode regime
+    assert 0 < len(jobs) <= 25, f"light-mode pipeline ran {len(jobs)} jobs"
