@@ -393,6 +393,13 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
         n_bad = (store.manifest("bad_buckets") or {}).get("n_rows")
     else:
         n_bad = bad_buckets.count()
+    if n_bad == 0:
+        # no failed-rep buckets anywhere (the common case on clean corpora):
+        # the whole fallback subtree — bad-bucket re-scan, intra-bucket
+        # self-join, anti-join, second verify pass and their 3-4 broadcast
+        # jobs of fixed scheduler latency each — is provably empty. Return
+        # the passed star edges directly.
+        return passed
     bcast_ok = n_bad is not None and n_bad * 24 < bad_bucket_broadcast_max_bytes
     # bad buckets are eligible by construction (came from memb), so their
     # full membership is a subset of the MATERIALIZED memb table — re-scan
