@@ -111,6 +111,35 @@ def test_fallback_materialization_gate_same_result(spark, monkeypatch):
     assert base == forced == {(2, 3)}
 
 
+def test_fallback_short_circuit_when_no_bad_buckets(spark):
+    """When every star edge passes verification there are zero bad buckets
+    and the whole fallback subtree (re-scan, self-join, anti-join, second
+    verify pass) is provably empty — the function must return the passed
+    star edges directly, with no anti-join in the plan, and the pair set
+    must still be complete."""
+    from datasketches_spark.operators import lsh, verify
+
+    shared = list(range(1000, 1100))
+    rows = [
+        (1, [0] * CFG.num_perm, sorted(shared + [1201]), kmv.MAX_THETA_LONG),
+        (2, [0] * CFG.num_perm, sorted(shared + [2201]), kmv.MAX_THETA_LONG),
+        (3, [0] * CFG.num_perm, sorted(shared + [3201]), kmv.MAX_THETA_LONG),
+    ]
+    sig = spark.createDataFrame(
+        rows, "doc_id LONG, minhash ARRAY<LONG>, kmv_entries ARRAY<LONG>, kmv_theta LONG")
+    bands = spark.createDataFrame(
+        [(1, 0, 42), (2, 0, 42), (3, 0, 42)], "doc_id LONG, band INT, bhash LONG")
+    stats = lsh.bucket_stats(bands)
+    out = verify.verify_star_edges_with_fallback(bands, stats, sig, CFG)
+    # star edges are rep->member: the rep (min doc_id = 1) pairs with 2, 3.
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2), (1, 3)}
+    # the short-circuit returns the passed-filter subtree: no fallback
+    # anti-join may appear in the optimized plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" not in plan, plan
+
+
 # ------------------------------------------ light-stages checkpoint mode
 
 HEAVY_STAGES = {"signatures", "verified_edges", "clusters",
