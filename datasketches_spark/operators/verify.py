@@ -386,13 +386,30 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     )
     # broadcast bad_buckets into the bands re-scan ONLY when its measured
     # row count fits (store path: free via the write-job Observation;
-    # store-less path: one cheap count over the materialized tiny table).
-    # An adversarial / boilerplate-heavy corpus makes the failed-rep set
-    # huge — an unguarded broadcast there is a driver OOM. ~24 B/row.
+    # store-less path: one bounded limit+collect over the materialized tiny
+    # table). An adversarial / boilerplate-heavy corpus makes the failed-rep
+    # set huge — an unguarded broadcast there is a driver OOM. ~24 B/row.
+    bad_local = None
+    local_cap = int(os.environ.get("DSS_FB_MATERIALIZE_BAD", "20000"))
     if store is not None and getattr(store, "enabled", False):
         n_bad = (store.manifest("bad_buckets") or {}).get("n_rows")
     else:
-        n_bad = bad_buckets.count()
+        # one job instead of two: the same action that would have counted
+        # bad_buckets brings the rows back when the set is small (the
+        # common case — clean corpora have few failed reps), turning the
+        # bands re-scan's build side into a driver-local relation whose
+        # broadcast needs no separate Spark job under static planning.
+        # Bounded by the adversarial-regime threshold, so the collect can
+        # never pull more than ~0.5 MB; past it, fall back to the exact
+        # distributed count (amortized at that scale).
+        rows = bad_buckets.limit(local_cap + 1).collect()
+        if len(rows) <= local_cap:
+            n_bad = len(rows)
+            if rows:
+                bad_local = bands.sparkSession.createDataFrame(
+                    rows, bad_buckets.schema)
+        else:
+            n_bad = bad_buckets.count()
     if n_bad == 0:
         # no failed-rep buckets anywhere (the common case on clean corpora):
         # the whole fallback subtree — bad-bucket re-scan, intra-bucket
@@ -403,8 +420,11 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
     bcast_ok = n_bad is not None and n_bad * 24 < bad_bucket_broadcast_max_bytes
     # bad buckets are eligible by construction (came from memb), so their
     # full membership is a subset of the MATERIALIZED memb table — re-scan
-    # that, never the far larger raw band table
-    bb = memb.join(F.broadcast(bad_buckets) if bcast_ok else bad_buckets,
+    # that, never the far larger raw band table. The driver-local form (if
+    # the bounded collect produced one) is strictly better than
+    # broadcasting the distributed table: same rows, no broadcast-build job.
+    bad_side = bad_local if bad_local is not None else bad_buckets
+    bb = memb.join(F.broadcast(bad_side) if bcast_ok else bad_side,
                    ["band", "bhash"])
     a = bb.select("band", "bhash", F.col("doc_id").alias("id_a"))
     b = bb.select("band", "bhash", F.col("doc_id").alias("id_b"))
