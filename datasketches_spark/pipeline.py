@@ -286,6 +286,26 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         n_eligible = bucket_obs.get("n_eligible_buckets")
     bcast_eligible = n_eligible is not None and n_eligible * 48 < 256 * 1024 * 1024
 
+    if light_stages and n_memb_hint is not None:
+        # second static resize, at the LSH boundary: every shuffle from
+        # here on (star distinct, the verify joins, fallback, dup_pairs,
+        # all CC rounds, cluster assembly) runs over tables bounded by the
+        # bucket MEMBERSHIP row count — typically another ~20x below the
+        # signature count the p_small sizing above used. Event-log
+        # attribution at 1M files showed these stages dispatch-bound, not
+        # compute-bound: ~20 s of wall across the verify/CC/pairs region
+        # went to driver task dispatch of 66-132 near-empty tasks per
+        # stage, identical at every parallelism — i.e. the fixed term that
+        # caps N->4N scaling efficiency. AQE would coalesce these at
+        # runtime; light mode (AQE off) sizes them statically from the
+        # same measurement that priced the broadcast decision, so the
+        # granularity stays DATA-derived (identical across probe legs,
+        # grows back to the session cap as membership grows — a no-op at
+        # web scale).
+        cur_sp2 = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        p_post = max(16, min(cur_sp2, n_memb_hint // 50000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(p_post))
+
     _, dropped = lsh.candidate_edges(bands, cfg, stats)
     verified = store.stage(
         "verified_edges",
