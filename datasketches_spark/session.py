@@ -125,9 +125,20 @@ def get_spark(app: str = "datasketches_spark", cores: int | None = None,
                    .config("spark.eventLog.dir", ev))
     # generic passthrough for ablation experiments and site-specific tuning:
     # "k=v;k2=v2" applied last, so it can override any default above
-    extra = os.environ.get("SPARK_GRAFT_CONF", "")
-    for kv in extra.split(";"):
+    for k, v in parse_extra_conf(os.environ.get("SPARK_GRAFT_CONF", "")).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def parse_extra_conf(spec: str) -> dict[str, str]:
+    """Parse the ``SPARK_GRAFT_CONF`` format: ``k=v;k2=v2``. Entries
+    without ``=`` are ignored; later duplicates win (matching Spark's
+    last-setting-wins conf semantics); values may themselves contain
+    ``=`` (only the first splits)."""
+    out: dict[str, str] = {}
+    for kv in (spec or "").split(";"):
         if "=" in kv:
             k, _, v = kv.partition("=")
-            builder = builder.config(k.strip(), v.strip())
-    return builder.getOrCreate()
+            if k.strip():
+                out[k.strip()] = v.strip()
+    return out

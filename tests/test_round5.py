@@ -287,3 +287,36 @@ def test_light_mode_job_count_bounded(spark, tmp_path):
     # the terminal clusters.count() above is included; 25 is ~2x headroom
     # over the measured count and ~3x under the pre-light-mode regime
     assert 0 < len(jobs) <= 25, f"light-mode pipeline ran {len(jobs)} jobs"
+
+
+# ------------------------------------------------- round-5 session seams
+
+def test_parse_extra_conf():
+    """SPARK_GRAFT_CONF parsing: k=v;k2=v2, values may contain '=',
+    blanks/empty entries ignored, later duplicates win."""
+    from datasketches_spark.session import parse_extra_conf
+
+    assert parse_extra_conf("") == {}
+    assert parse_extra_conf(None) == {}
+    assert parse_extra_conf("a=1;b=2") == {"a": "1", "b": "2"}
+    assert parse_extra_conf(" a = 1 ; ;noequals; b = x=y ") == {
+        "a": "1", "b": "x=y"}
+    assert parse_extra_conf("a=1;a=2") == {"a": "2"}
+
+
+def test_run_dedup_light_restores_session_conf(spark):
+    """run_dedup(light_stages=True) mutates spark.sql.shuffle.partitions
+    twice mid-run (signature sizing, post-LSH resize) and disables AQE;
+    both must be restored on exit so later queries in the same session
+    plan under the caller's configuration."""
+    from datasketches_spark.config import DedupConfig
+    from datasketches_spark.pipeline import run_dedup
+    from datasketches_spark.sources.corpus import generate_corpus
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    docs = generate_corpus(spark, 200, seed=7)
+    res = run_dedup(spark, docs, DedupConfig(), light_stages=True)
+    res.clusters.count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
