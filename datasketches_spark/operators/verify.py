@@ -356,15 +356,42 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
         .select(F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b"))
         .distinct()
     )
+    # when the membership count clears the participant-broadcast gate,
+    # materialize the SEMI-FILTERED participant signatures once and verify
+    # BOTH passes (star + fallback) against it: every verify participant —
+    # star edges and fallback pairs alike — is a member of an eligible
+    # bucket, so this one table serves the whole chain. Without it the
+    # fallback verify re-scans the full-width signature parquet a second
+    # time (measured 2.7 GB scan + 2.7 GB full-width shuffle at 1M files
+    # when its own n_bad x bucket_cap hint overshot the broadcast gate);
+    # with it the signature parquet is scanned exactly once per run and
+    # the wide rows live on as (executor-local or store) blocks bounded by
+    # the participant count. At web scale n_memb exceeds the gate and this
+    # stays off — the plain shuffle joins run as before.
+    sig_v = sig
+    participant_max = 4_000_000
+    if n_memb is not None and n_memb <= participant_max:
+        sig_v = _materialize(
+            "participant_sigs",
+            lambda: sig.select("doc_id", "minhash", "kmv_entries", "kmv_theta")
+            .join(F.broadcast(memb.select("doc_id").distinct()),
+                  "doc_id", "left_semi"),
+            upstream=memb_ups,
+        )
+        sig_v_ups = memb_ups + (["participant_sigs"] if store is not None
+                                and getattr(store, "enabled", False) else [])
+    else:
+        sig_v_ups = memb_ups
     # materialize the verified star edges once: passed/failed/fb_pairs all
     # reference this subtree, and Spark re-executes unshared subplans —
     # without this the 2-join verify would run 3-4x.
     star_v = _materialize(
         "star_verified",
-        lambda: verify_pairs(star, sig, cfg, keep_below_threshold=True,
-                             participants_hint=n_memb,
+        lambda: verify_pairs(star, sig_v, cfg, keep_below_threshold=True,
+                             participants_hint=(None if sig_v is not sig
+                                                else n_memb),
                              participants_df=memb.select("doc_id").distinct()),
-        upstream=memb_ups,
+        upstream=sig_v_ups,
     )
     passed = star_v.filter(F.col("jaccard_kmv") >= F.lit(cfg.jaccard_threshold))
     failed = star_v.filter(F.col("jaccard_kmv") < F.lit(cfg.jaccard_threshold))
@@ -467,12 +494,22 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
                                  else []),
         )
     # the fallback participant set is bounded by bad-bucket membership —
-    # at most n_bad × bucket_cap doc ids — so the verify broadcast decision
-    # needs no materialized count. The ids come from the bucket-membership
-    # plan (bb) directly, NOT from fb_pairs: deriving them from the pairs
-    # would execute the cap²-bounded self-join subtree twice (ids + probe).
-    n_fb_partic = n_bad * cfg.bucket_cap if n_bad is not None else None
-    fb_v = verify_pairs(fb_pairs, sig, cfg, participants_hint=n_fb_partic,
+    # at most n_bad × bucket_cap doc ids, and never more than the eligible
+    # membership count (bb ⊆ memb), so the verify broadcast decision needs
+    # no materialized count: take the tighter of the two bounds (the
+    # cap-based one overshoots ~50x on real bucket-size distributions and
+    # used to wrongly disable the semi-filter at 1M files). The ids come
+    # from the bucket-membership plan (bb) directly, NOT from fb_pairs:
+    # deriving them from the pairs would execute the cap²-bounded
+    # self-join subtree twice (ids + probe). The probe runs against sig_v —
+    # the already-filtered participant table when the gate is on — so a
+    # fallback never re-scans the full-width signature parquet.
+    n_fb_partic = None
+    if n_bad is not None:
+        n_fb_partic = n_bad * cfg.bucket_cap
+        if n_memb is not None:
+            n_fb_partic = min(n_fb_partic, n_memb)
+    fb_v = verify_pairs(fb_pairs, sig_v, cfg, participants_hint=n_fb_partic,
                         participants_df=bb.select("doc_id").distinct())
     # the union is duplicate-free by construction — star edges are distinct
     # with id_a = bucket-min < id_b, fb_pairs are distinct with id_a < id_b

@@ -128,6 +128,31 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         exact_edges = exact_edges.persist()
         exact_edges.count()
 
+    # light mode: the docs_meta / exact_groups CACHES are lazy, and their
+    # first consumers (dup_pairs and clusters) run CONCURRENTLY at the end
+    # of the pipeline — two fresh actions planned against a cold cache get
+    # fresh shuffle ids, so both re-run the corpus scan + sha256 map side
+    # (measured: a duplicated 64 core-s stage at 1M files). Materialize
+    # the caches in a background thread NOW, overlapped with the python-
+    # bound signature stage (JVM sha256 and Arrow workers share cores
+    # well); the await sits right before the consumers fork.
+    prewarm = None
+    _edge_ups = ["verified_edges", "exact_groups"]
+    if light_stages and store.enabled and not (
+            store.is_valid("dup_pairs", store._resolve_upstream(_edge_ups))
+            and store.is_valid("clusters", store._resolve_upstream(_edge_ups))):
+        # (skipped when BOTH exact-edge consumers resume from valid
+        # checkpoints — a fully-resumed run must not pay a corpus scan)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        def _warm_exact() -> None:
+            spark.sparkContext.setJobDescription("stage:prewarm_exact")
+            exact_groups.count()
+
+        _warm_pool = _TPE(max_workers=1)
+        prewarm = _warm_pool.submit(_warm_exact)
+        _warm_pool.shutdown(wait=False)
+
     n_cores = spark.sparkContext.defaultParallelism
     # 2x cores: a pandas stage task occupies a JVM thread AND a python
     # worker, neither saturating a core alone — finer tasks pack the
@@ -326,6 +351,12 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     if persist:
         verified = verified.persist()
         verified.count()
+
+    if prewarm is not None:
+        # by now the signature + verify stages have run; the prewarm is
+        # long done in the common case. Await it regardless: the consumers
+        # below must see WARM caches or the cold-cache race comes back.
+        prewarm.result()
 
     # dup_pairs depends only on verified + exact edges — NOT on the CC
     # chain — so its write job can run concurrently with the cluster
