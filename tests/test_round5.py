@@ -320,3 +320,47 @@ def test_run_dedup_light_restores_session_conf(spark):
     res.clusters.count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_sp
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+
+
+# ----------------- shared participant-signature subtree (round-5 session 2)
+
+def test_participant_sig_gate_on_off_same_result(spark):
+    """The verify chain optionally materializes the participant-filtered
+    signature table once and runs BOTH verify passes (star + fallback)
+    against it — gated on the membership count clearing the broadcast
+    budget. Gate ON (n_memb hint small) and gate OFF (hint over the 4M
+    budget) must produce identical verified pairs on the planted
+    false-positive-representative scenario, where the fallback subtree is
+    exercised end to end."""
+    from datasketches_spark.operators import lsh, verify
+
+    shared = list(range(1000, 1095))
+    rows = [
+        (1, [0] * CFG.num_perm, sorted(range(1, 101)), kmv.MAX_THETA_LONG),
+        (2, [0] * CFG.num_perm, sorted(shared + [2001, 2002, 2003, 2004, 2005]), kmv.MAX_THETA_LONG),
+        (3, [0] * CFG.num_perm, sorted(shared + [3001, 3002, 3003, 3004, 3005]), kmv.MAX_THETA_LONG),
+    ]
+    sig = spark.createDataFrame(
+        rows, "doc_id LONG, minhash ARRAY<LONG>, kmv_entries ARRAY<LONG>, kmv_theta LONG")
+    bands = spark.createDataFrame(
+        [(1, 0, 42), (2, 0, 42), (3, 0, 42)], "doc_id LONG, band INT, bhash LONG")
+    stats = lsh.bucket_stats(bands)
+    on = {(r["id_a"], r["id_b"])
+          for r in verify.verify_star_edges_with_fallback(
+              bands, stats, sig, CFG, n_memb_hint=3).collect()}
+    off = {(r["id_a"], r["id_b"])
+           for r in verify.verify_star_edges_with_fallback(
+               bands, stats, sig, CFG, n_memb_hint=10_000_000).collect()}
+    assert on == off == {(2, 3)}
+
+
+def test_fallback_hint_bounded_by_membership():
+    """The fallback verify's participant hint must be the TIGHTER of
+    n_bad x bucket_cap and the eligible-membership count: the cap-based
+    bound alone overshoots the broadcast gate ~50x on real bucket-size
+    distributions and silently disabled the semi-filter (a full-width
+    signature shuffle at 1M files). Whitebox: with a small n_memb the
+    effective hint must clear the 4M gate even when n_bad x cap does not."""
+    n_bad, cap, n_memb = 20_000, 256, 950_000
+    assert n_bad * cap > 4_000_000          # cap bound alone: gate OFF
+    assert min(n_bad * cap, n_memb) <= 4_000_000  # tighter bound: gate ON
