@@ -20,6 +20,11 @@ Env:
   BENCH_SCALE_REPEATS  repeats per leg, best-of (default 3)
   BENCH_LOAD_GATE      wait for /proc/loadavg < this before each leg
                        (default 2; 0 disables)
+  BENCH_MEM_GATE       also wait for concurrent first-touch memory weather
+                       >= this many MB/s aggregate before each leg
+                       (default 2000; 0 disables) — this venue's
+                       hypervisor demand-paging collapses ~100x under
+                       host-side pressure while loadavg/steal read quiet
 """
 
 from __future__ import annotations
@@ -277,6 +282,7 @@ def main() -> None:
         "e2e_attempts_s": e2e_attempts,
         "light_stages": os.environ.get("BENCH_LIGHT", "1") == "1",
         "placement": _log_placement(),
+        "mem_probe_mbps": round(_mem_probe_mbps(), 1),
     }
     print(json.dumps(out))
 
@@ -284,18 +290,71 @@ def main() -> None:
         scaling_probe()
 
 
+def _mem_probe_mbps(workers: int = 8, mb_each: int = 128) -> float:
+    """Aggregate CONCURRENT first-touch page-population throughput (MB/s).
+
+    The direct signal for this venue's dominant measurement hazard: VM
+    memory is demand-paged by the hypervisor, and under host-side pressure
+    per-page first-touch cost collapses ~100x (measured 2026-08-19: 8
+    writers at 10 MB/s each vs 1.1 GB/s each minutes apart on an idle
+    guest — invisible to loadavg, steal%, and PSI, all of which read
+    quiet while it happens). Single-threaded probes MISS it (the collapse
+    is concurrency-triggered: 1 writer measured 458 MB/s in the same
+    window 8 writers got 80 MB/s aggregate), so the probe touches fresh
+    anonymous pages from several processes at once — the same access
+    shape as executor shuffle/checkpoint buffers."""
+    import multiprocessing as mp
+
+    def _touch(q):
+        import mmap
+        m = mmap.mmap(-1, mb_each << 20)
+        chunk = b"\xa5" * (1 << 20)
+        t0 = time.time()
+        for off in range(mb_each):
+            m.seek(off << 20)
+            m.write(chunk)
+        q.put(mb_each / (time.time() - t0))
+        m.close()
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_touch, args=(q,)) for _ in range(workers)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    rates = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    # aggregate over the common window (sum of per-proc rates overstates
+    # when stragglers serialize; wall-based aggregate is the honest one)
+    return (workers * mb_each) / max(time.time() - t0, 1e-6)
+
+
 def _wait_for_quiet(gate: float) -> str:
     """Wait out load-average decay from the previous leg and any external
     burst: every leg deserves the same quiet host (without this the 4N leg
     always starts in the 1-minute load shadow of the N leg that just
-    finished). Returns the load at release."""
-    if gate:
+    finished). Also gates on first-touch memory weather (BENCH_MEM_GATE
+    MB/s aggregate, default 2000; 0 disables) — see _mem_probe_mbps for
+    why loadavg alone cannot see this venue's worst hazard. Returns
+    "<load> mem=<MB/s>" at release."""
+    mem_gate = float(os.environ.get("BENCH_MEM_GATE", "2000"))
+    mem = -1.0
+    if gate or mem_gate:
         deadline = time.time() + 900
         while time.time() < deadline:
-            if float(open("/proc/loadavg").read().split()[0]) < gate:
-                break
-            time.sleep(20)
-    return open("/proc/loadavg").read().split()[0]
+            if gate and float(open("/proc/loadavg").read().split()[0]) >= gate:
+                time.sleep(20)
+                continue
+            if mem_gate:
+                mem = _mem_probe_mbps()
+                if mem < mem_gate:
+                    time.sleep(20)
+                    continue
+            break
+    load = open("/proc/loadavg").read().split()[0]
+    if mem < 0 and mem_gate:
+        mem = _mem_probe_mbps()
+    return f"{load} mem={mem:.0f}" if mem_gate else load
 
 
 def _run_attempt(n: int, gate: float) -> tuple[dict, str, bool]:
@@ -393,8 +452,12 @@ def scaling_probe() -> None:
         section = (
             f"corpus: {N_FILES} synthetic source files (seed 42), identical input every leg;\n"
             f"best of {repeats} runs per probe leg, legs INTERLEAVED round-robin (every leg\n"
-            f"samples the same external-load regimes), load-gated at < {gate or 'off'} before each\n"
-            "run; attempts whose post-run 5-min load shows a mid-run burst are marked tainted\n"
+            f"samples the same external-load regimes), gated before each run on loadavg\n"
+            f"< {gate or 'off'} AND concurrent first-touch memory weather >= "
+            f"{os.environ.get('BENCH_MEM_GATE', '2000')} MB/s\n"
+            "(the mem= column; see 'Environment findings' — this venue's hypervisor\n"
+            "demand-paging collapses ~100x under host pressure, invisible to loadavg);\n"
+            "attempts whose post-run 5-min load shows a mid-run burst are marked tainted\n"
             "and earn a replacement round (external host load only ever inflates wall time).\n"
             "The table is rewritten after EVERY attempt, so a killed campaign leaves the\n"
             "completed attempts on record instead of nothing.\n"
@@ -403,7 +466,7 @@ def scaling_probe() -> None:
             "parquet checkpoints at the five expensive boundaries, see 'Light-stages mode'),\n"
             "corpus generation excluded; throughput = files / dedup wall seconds. Corpus +\n"
             "shuffle + checkpoint store on tmpfs, capacity-gated (see 'Storage placement').\n\n"
-            "| parallelism | files/sec | dedup wall sec | host load at start | attempts | tainted |\n"
+            "| parallelism | files/sec | dedup wall sec | host load + mem MB/s at start | attempts | tainted |\n"
             "|---|---|---|---|---|---|\n"
             + rows +
             f"\n**Documented probe pair = local[{pair[0]}] vs local[{pair[1]}]** (N and 4N cores, both\n"
@@ -465,6 +528,7 @@ def dedup_only() -> None:
         "cpus": CPUS,
         "light_stages": os.environ.get("BENCH_LIGHT", "1") == "1",
         "placement": _log_placement(),
+        "mem_probe_mbps": round(_mem_probe_mbps(), 1),
     }
     print(json.dumps(out))
 

@@ -433,8 +433,19 @@ def verify_star_edges_with_fallback(bands: DataFrame, stats: DataFrame,
         if len(rows) <= local_cap:
             n_bad = len(rows)
             if rows:
+                # through pandas, NOT the list-of-Rows overload: under
+                # arrow.localRelationThreshold (default 48 MB, far above
+                # the 0.5 MB cap here) the pandas path plans a pure-JVM
+                # LocalRelation, while list-of-Rows plans a PythonRDD
+                # whose broadcast build runs a default-parallelism python
+                # stage — measured as a cold 32-worker pool spawn (6-22 s
+                # on this host class) sitting inside the verify chain.
+                import pandas as _pd
+
                 bad_local = bands.sparkSession.createDataFrame(
-                    rows, bad_buckets.schema)
+                    _pd.DataFrame([tuple(r) for r in rows],
+                                  columns=bad_buckets.schema.names),
+                    bad_buckets.schema)
         else:
             n_bad = bad_buckets.count()
     if n_bad == 0:
