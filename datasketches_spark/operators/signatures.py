@@ -131,11 +131,27 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
 
 
 def kmv_group_partials(df: DataFrame, group_col: str, value_col: str,
-                       cfg: DedupConfig) -> DataFrame:
+                       cfg: DedupConfig,
+                       min_parallelism: int | None = None) -> DataFrame:
     """Phase 1 of the two-phase per-group KMV aggregation: ONE partial
-    sketch per (input partition, group) via ``mapInPandas`` — no shuffle,
-    state bounded by k per group. Exposed so tests can pin the partial
-    count to n_partitions × n_groups (NOT n_arrow_batches × n_groups)."""
+    sketch per (input partition, group) via ``mapInPandas`` — no extra
+    shuffle by default, state bounded by k per group. Exposed so tests can
+    pin the partial count to n_partitions × n_groups (NOT
+    n_arrow_batches × n_groups).
+
+    ``min_parallelism``: when the input arrives in fewer splits than this
+    (e.g. one modest parquet file read as a single 128 MB split), the
+    pruned 2-column input is repartitioned first so the Python stage uses
+    every core — the shuffle moves only (group, value) rows, ~16 B each
+    (guide §2.3 "project before the exchange"). At scale the input
+    already has plenty of splits and the condition is false, so no
+    shuffle is ever added where it wouldn't pay.
+
+    Per-batch compute is fully batched (guide §4.2): one vectorized
+    murmur3 over the whole value column, one lexsort + boundary-diff for
+    per-group distinct hash sets, one ``kmv.build_batch`` per Arrow batch
+    — no per-group ``np.unique``/``kmv.build`` dispatch (bit-identical;
+    the same shape the signature stage uses)."""
     from datasketches_spark.kernels.murmur3 import sketch_hash_longs_vec
 
     seed, k = cfg.seed, cfg.k
@@ -155,11 +171,30 @@ def kmv_group_partials(df: DataFrame, group_col: str, value_col: str,
         # single-task merge bottleneck ~5×10^8 rows wide).
         acc: dict = {}
         for pdf in batches:
-            # dropna=False: SQL GROUP BY keeps the null group; pandas
-            # groupby silently drops it by default
-            for key, grp in pdf.groupby(group_col, dropna=False):
-                vals = grp[value_col].to_numpy().astype(np.int64).view(np.uint64).reshape(-1, 1)
-                sk = kmv.build(sketch_hash_longs_vec(vals, seed), k=k, seed=seed)
+            # factorize keeps the null group (use_na_sentinel=False): SQL
+            # GROUP BY keeps nulls; pandas groupby drops them by default
+            codes, uniques = pd.factorize(pdf[group_col], use_na_sentinel=False)
+            vals = pdf[value_col].to_numpy().astype(np.int64).view(np.uint64).reshape(-1, 1)
+            h = sketch_hash_longs_vec(vals, seed)
+            order = np.lexsort((h, codes))
+            hs, cs = h[order], codes[order]
+            # distinct within group: first of each (group, hash) run
+            keep = np.empty(hs.shape[0], dtype=bool)
+            if hs.shape[0]:
+                keep[0] = True
+                np.logical_or(hs[1:] != hs[:-1], cs[1:] != cs[:-1], out=keep[1:])
+            hs, cs = hs[keep], cs[keep]
+            starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]]) if cs.shape[0] else np.empty(0, dtype=np.int64)
+            ends = np.r_[starts[1:], cs.shape[0]] if starts.shape[0] else starts
+            sets = [hs[s:e] for s, e in zip(starts, ends)]
+            entries_l, thetas = kmv.build_batch(sets, k=k, seed=seed)
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                key = uniques[cs[s]]
+                th = int(thetas[i])
+                sk = kmv.ThetaSketch(
+                    th, entries_l[i],
+                    empty=(entries_l[i].shape[0] == 0 and th == kmv.MAX_THETA_LONG),
+                    seed=seed)
                 prev = acc.get(key)
                 acc[key] = sk if prev is None else kmv.union(prev, sk, k=k)
         if acc:
@@ -169,11 +204,15 @@ def kmv_group_partials(df: DataFrame, group_col: str, value_col: str,
                 "theta": [np.int64(np.uint64(s.theta).view(np.int64)) for s in acc.values()],
             })
 
-    return df.select(group_col, value_col).mapInPandas(partial, part_schema)
+    pruned = df.select(group_col, value_col)
+    if min_parallelism and pruned.rdd.getNumPartitions() < min_parallelism:
+        pruned = pruned.repartition(min_parallelism)
+    return pruned.mapInPandas(partial, part_schema)
 
 
 def kmv_distinct_by_group(df: DataFrame, group_col: str, value_col: str,
-                          cfg: DedupConfig, out_col: str = "distinct_est") -> DataFrame:
+                          cfg: DedupConfig, out_col: str = "distinct_est",
+                          min_parallelism: int | None = None) -> DataFrame:
     """Per-group KMV distinct estimate as a TWO-PHASE aggregation (the Spark
     mapping of the reference Union gadget, UnionImpl.cs:232-281): phase 1
     (``kmv_group_partials``) builds one partial sketch per (input
@@ -198,7 +237,8 @@ def kmv_distinct_by_group(df: DataFrame, group_col: str, value_col: str,
         merged = kmv.union_many(sketches, k=k, seed=seed)
         return pd.DataFrame({group_col: [key[0]], out_col: [int(round(merged.estimate()))]})
 
-    partials = kmv_group_partials(df, group_col, value_col, cfg)
+    partials = kmv_group_partials(df, group_col, value_col, cfg,
+                                  min_parallelism=min_parallelism)
     return partials.groupBy(group_col).applyInPandas(final, final_schema)
 
 
