@@ -254,7 +254,8 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 
     cfg = DedupConfig(jaccard_threshold=0.5)
     d = _read(spark, sf_dir, "documents").select(F.col("doc_id"), F.col("text").alias("content"))
-    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism,
+                           parts=frozenset({"minhash", "kmv"}))
     # materialize the signature stage ONCE: the band table and both verify
     # sides reference this subtree, which would otherwise run the Arrow
     # stage 3x; the checkpoint also gives AQE real sizes, so the verify
@@ -277,7 +278,8 @@ def _q_minhash_pairs_bounded(spark, sf_dir):
 
     cfg = DedupConfig(jaccard_threshold=0.5)
     d = _read(spark, sf_dir, "documents").select(F.col("doc_id"), F.col("text").alias("content"))
-    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism,
+                           parts=frozenset({"minhash", "kmv"}))
     sig = sig.localCheckpoint()
     bands = lsh.band_table(sig, cfg)
     pairs = lsh.candidate_pairs_exact(bands, cfg)
@@ -295,7 +297,10 @@ def _q_simhash_fingerprints(spark, sf_dir):
     from datasketches_spark.operators.signatures import build_signatures
 
     d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    # parts={"simhash"}: skip the MinHash + KMV kernels (~45% of the
+    # stage's Python compute) — this query consumes only the SimHash slice
+    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism,
+                           parts=frozenset({"simhash"}))
     return sig.select("doc_id", "simhash", "n_shingles")
 
 
@@ -308,7 +313,8 @@ def _q_simhash_near_pairs(spark, sf_dir):
     from datasketches_spark.operators.signatures import build_signatures
 
     d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism,
+                           parts=frozenset({"simhash"}))
     sh = sig.select("doc_id", "simhash")
     bands = lsh.simhash_bands(sh, n_tables=4)
     a = bands.select("band", "bhash", F.col("doc_id").alias("id_a"))
@@ -335,7 +341,8 @@ def _q_lsh_bucket_histogram(spark, sf_dir):
     from datasketches_spark.operators.signatures import build_signatures
 
     d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    sig = build_signatures(d, CFG, min_parallelism=2 * spark.sparkContext.defaultParallelism,
+                           parts=frozenset({"minhash"}))
     bands = lsh.band_table(sig, CFG)
     return lsh.bucket_histogram(lsh.bucket_stats(bands))
 
@@ -432,7 +439,9 @@ def _q_span_dup_pairs(spark, sf_dir):
 
     cfg = DedupConfig(span_pass=True, span_window=20, span_min_tokens=24)
     d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism)
+    # parts=(): the span pass consumes only the winnowed span_fps column
+    sig = build_signatures(d, cfg, min_parallelism=2 * spark.sparkContext.defaultParallelism,
+                           parts=frozenset())
     sig = sig.localCheckpoint()  # candidate-gen and span verify share it
     cands, _dropped = spans.span_candidate_pairs(sig, cfg)
     out = spans.verify_spans(cands, d, cfg).filter(
@@ -462,7 +471,7 @@ def _q_salted_candidate_pairs(spark, sf_dir):
     from datasketches_spark.operators.signatures import build_signatures
 
     d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    sig = build_signatures(d, CFG)
+    sig = build_signatures(d, CFG, parts=frozenset({"minhash"}))
     bands = lsh.band_table(sig, CFG)
     return lsh.candidate_pairs_salted(bands, CFG, n_salts=4)
 
@@ -474,7 +483,7 @@ def _q_kmv_serde_roundtrip(spark, sf_dir):
     from datasketches_spark.operators.signatures import build_signatures
 
     d = _read(spark, sf_dir, "documents").select("doc_id", F.col("text").alias("content"))
-    sig = build_signatures(d, CFG)
+    sig = build_signatures(d, CFG, parts=frozenset({"kmv"}))
     imgs = serde.with_serialized_kmv(sig)
     back = imgs.withColumn("sk", serde.kmv_deserialize_udf()(F.col("kmv_image")))
     return back.select(

@@ -45,13 +45,26 @@ SIGNATURE_FIELDS = [
 ]
 
 
-def signature_schema(extra_passthrough: list[T.StructField] | None = None) -> T.StructType:
-    return T.StructType(SIGNATURE_FIELDS + (extra_passthrough or []))
+ALL_PARTS = frozenset({"minhash", "simhash", "kmv"})
+
+
+def signature_schema(extra_passthrough: list[T.StructField] | None = None,
+                     parts: frozenset = ALL_PARTS) -> T.StructType:
+    drop = set()
+    if "minhash" not in parts:
+        drop.add("minhash")
+    if "simhash" not in parts:
+        drop.add("simhash")
+    if "kmv" not in parts:
+        drop.update({"kmv_entries", "kmv_theta"})
+    fields = [f for f in SIGNATURE_FIELDS if f.name not in drop]
+    return T.StructType(fields + (extra_passthrough or []))
 
 
 def build_signatures(docs: DataFrame, cfg: DedupConfig,
                      id_col: str = "doc_id", content_col: str = "content",
-                     min_parallelism: int | None = None) -> DataFrame:
+                     min_parallelism: int | None = None,
+                     parts: frozenset = ALL_PARTS) -> DataFrame:
     """docs(doc_id, content, ...) → signatures table.
 
     Column pruning happens here deliberately: only (id, content) enter the
@@ -64,15 +77,27 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
     The checkpointed pipeline path leaves this unset — its input stage
     already carries enough files, and an unconditional shuffle of the full
     content column is exactly the scale mistake to avoid at 100 TB.
+
+    ``parts``: which sketch components to compute — any subset of
+    {"minhash", "simhash", "kmv"}. Queries that consume only a slice of
+    the signature table (e.g. SimHash fingerprints alone, or band tables
+    that need only MinHash) skip the other kernels entirely — MinHash is
+    ~37% and SimHash ~19% of the stage's Python compute (guide §1.2:
+    don't compute things you throw away). Output columns for the
+    requested parts are bit-identical to the full build; omitted parts
+    are absent from the schema. The pipeline keeps the default (all).
     """
     seed, ngram, num_perm, k = cfg.seed, cfg.ngram, cfg.num_perm, cfg.k
+    want_mh = "minhash" in parts
+    want_sh = "simhash" in parts
+    want_kmv = "kmv" in parts
     # winnowing fingerprints are only consumed by the common-span pass:
     # when cfg.span_pass is off (the default), span_fps stays an empty
     # array and the O(n) sliding-min is skipped entirely — every other
     # consumer of the signature table never pays for it
     span_w = cfg.span_window if cfg.span_pass else 0
     p = cfg.p
-    schema = signature_schema()
+    schema = signature_schema(parts=parts)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # DSS_SIG_TIMING=<path>: append one line per task with the pure
@@ -82,7 +107,7 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
         timing_path = os.environ.get("DSS_SIG_TIMING")
         t_compute = 0.0
         n_docs_task = 0
-        params = minhash.perm_params(num_perm, seed)
+        params = minhash.perm_params(num_perm, seed) if want_mh else None
         no_fps = np.empty(0, dtype=np.int64)
         for pdf in batches:
             t0 = time.perf_counter() if timing_path else 0.0
@@ -97,25 +122,23 @@ def build_signatures(docs: DataFrame, cfg: DedupConfig,
             # — no per-document np.unique or kmv.build dispatch; outputs
             # bit-identical (parity-pinned in tests/test_signatures.py)
             shingle_sets = shingles.unique_sets_batch(streams)
-            kmv_entries, theta_list = kmv.build_batch(shingle_sets, k=k, seed=seed, p=p)
-            kmv_list = [e.view(np.int64) for e in kmv_entries]
             n_tok = np.fromiter((len(t) for t in token_lists), dtype=np.int32, count=n)
             n_shg = np.fromiter((s.shape[0] for s in shingle_sets), dtype=np.int32, count=n)
             fp_list = ([winnow.winnow(s, span_w).view(np.int64) for s in streams]
                        if span_w else [no_fps] * n)
-            # MinHash + SimHash vectorized across the whole Arrow batch
-            mh = minhash.signatures_batch(shingle_sets, num_perm, seed, params)
-            sh = simhash.fingerprints_batch(shingle_sets)
-            out = pd.DataFrame({
-                "doc_id": ids,
-                "n_tokens": n_tok,
-                "n_shingles": n_shg,
-                "minhash": list(mh.view(np.int64)),
-                "simhash": sh.view(np.int64),
-                "kmv_entries": kmv_list,
-                "kmv_theta": theta_list,
-                "span_fps": fp_list,
-            })
+            cols = {"doc_id": ids, "n_tokens": n_tok, "n_shingles": n_shg}
+            if want_mh:
+                # MinHash vectorized across the whole Arrow batch
+                mh = minhash.signatures_batch(shingle_sets, num_perm, seed, params)
+                cols["minhash"] = list(mh.view(np.int64))
+            if want_sh:
+                cols["simhash"] = simhash.fingerprints_batch(shingle_sets).view(np.int64)
+            if want_kmv:
+                kmv_entries, theta_list = kmv.build_batch(shingle_sets, k=k, seed=seed, p=p)
+                cols["kmv_entries"] = [e.view(np.int64) for e in kmv_entries]
+                cols["kmv_theta"] = theta_list
+            cols["span_fps"] = fp_list
+            out = pd.DataFrame(cols)
             if timing_path:
                 t_compute += time.perf_counter() - t0
                 n_docs_task += n

@@ -1,0 +1,147 @@
+"""Round-6 optimization pins: every change here reshapes HOW something is
+computed, never WHAT — these tests pin the equalities the optimizations
+rely on.
+
+1. ``build_signatures(parts=...)`` slices are bit-identical to the full
+   build on the requested columns (queries that consume one slice skip
+   the other kernels).
+2. ``kmv_group_partials``'s batched per-batch path (vectorized murmur3 +
+   lexsort distinct + ``build_batch``) matches a naive per-group
+   build/union loop — including the null group and many-group inputs.
+3. The JVM ``distinct()`` pre-pass in front of ``kmv_distinct_by_group``
+   is invariant: a KMV sketch depends only on the distinct value set, and
+   the merged estimate is partitioning-independent (global k-smallest).
+4. The rewritten ``language_id`` (one InSet-prefiltered aggregate pass)
+   matches the specification form (per-language filter counts) on mixed
+   multi-language documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_spark.config import DedupConfig
+from datasketches_spark.functions import text as tx
+from datasketches_spark.kernels import kmv
+from datasketches_spark.kernels.murmur3 import sketch_hash_longs_vec
+from datasketches_spark.operators.signatures import (
+    build_signatures, kmv_distinct_by_group, kmv_group_partials)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog ate the food for lunch"),
+        (1, "der hund ist nicht ein tier mit den anderen von hier"),
+        (2, ""),
+        (3, "le chat est dans la maison et les chiens ne sont pas la"),
+        (4, "el perro es una mascota que vive con los otros por la casa"),
+        (5, "x " * 300),
+        (6, "short"),
+        (7, "the the the und und le le el el"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "content"])
+
+
+def test_signature_parts_slices_match_full_build(spark, docs):
+    cfg = DedupConfig()
+    full = build_signatures(docs, cfg).collect()
+    full_by_id = {r["doc_id"]: r for r in full}
+    for parts, cols in [
+        (frozenset({"simhash"}), ["simhash"]),
+        (frozenset({"minhash"}), ["minhash"]),
+        (frozenset({"kmv"}), ["kmv_entries", "kmv_theta"]),
+        (frozenset({"minhash", "kmv"}), ["minhash", "kmv_entries", "kmv_theta"]),
+        (frozenset(), []),
+    ]:
+        sliced = build_signatures(docs, cfg, parts=parts).collect()
+        assert len(sliced) == len(full)
+        for r in sliced:
+            f = full_by_id[r["doc_id"]]
+            # invariant columns always present and identical
+            for c in ["n_tokens", "n_shingles", "span_fps"]:
+                assert r[c] == f[c], (c, r["doc_id"])
+            for c in cols:
+                assert r[c] == f[c], (c, r["doc_id"])
+            # omitted parts are absent from the schema, not null-filled
+            for absent in {"minhash", "simhash", "kmv_entries", "kmv_theta"} - set(cols):
+                assert absent not in r.asDict()
+
+
+def _naive_distinct_by_group(rows: list[tuple], cfg: DedupConfig) -> dict:
+    """Single-process reference: per-group build over ALL values at once."""
+    groups: dict = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    out = {}
+    for g, vals in groups.items():
+        arr = np.asarray(vals, dtype=np.int64).view(np.uint64).reshape(-1, 1)
+        sk = kmv.build(sketch_hash_longs_vec(arr, cfg.seed), k=cfg.k, seed=cfg.seed)
+        out[g] = int(round(sk.estimate()))
+    return out
+
+
+def test_kmv_group_partials_batched_matches_naive(spark):
+    cfg = DedupConfig(k=64)  # small k: exercises estimation-mode trimming
+    rng = np.random.default_rng(7)
+    rows = [(f"g{int(i)}", int(v)) for i, v in zip(
+        rng.integers(0, 50, size=5000), rng.integers(0, 10**6, size=5000))]
+    rows += [(None, int(v)) for v in rng.integers(0, 500, size=200)]  # null group
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(7)
+    got = {r["g"]: r["est"] for r in
+           kmv_distinct_by_group(df, "g", "v", cfg, out_col="est").collect()}
+    want = _naive_distinct_by_group(rows, cfg)
+    assert got == want
+
+
+def test_kmv_group_partials_row_count_scaling(spark):
+    """Partial count stays n_partitions x n_groups (not per Arrow batch)."""
+    cfg = DedupConfig()
+    rows = [(f"g{i % 3}", i) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "v"]).repartition(4)
+    n = kmv_group_partials(df, "g", "v", cfg).count()
+    assert n <= 4 * 3
+
+
+def test_kmv_distinct_pre_pass_invariant(spark):
+    cfg = DedupConfig(k=128)
+    rng = np.random.default_rng(3)
+    rows = [(f"g{int(i)}", int(v)) for i, v in zip(
+        rng.integers(0, 4, size=8000), rng.integers(0, 3000, size=8000))]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    a = {r["g"]: r["est"] for r in
+         kmv_distinct_by_group(df, "g", "v", cfg, out_col="est").collect()}
+    b = {r["g"]: r["est"] for r in
+         kmv_distinct_by_group(df.distinct(), "g", "v", cfg, out_col="est").collect()}
+    c = {r["g"]: r["est"] for r in
+         kmv_distinct_by_group(df.repartition(13), "g", "v", cfg, out_col="est",
+                               min_parallelism=5).collect()}
+    assert a == b == c
+
+
+def test_language_id_matches_specification_form(spark, docs):
+    """The optimized one-pass form vs the specification: per-language
+    stopword counts over whitespace-split words, first maximal wins."""
+    words_col = F.split(tx.ascii_lower(F.col("content")), r"\s+")
+    langs = list(tx.STOPWORDS)
+    def _score(lg):
+        ws = list(tx.STOPWORDS[lg])
+        return F.size(F.filter(words_col, lambda w: w.isin(ws)))
+
+    scores = [_score(lg) for lg in langs]
+    best = F.greatest(*scores)
+    spec = F.lit("und")
+    for lg, s in reversed(list(zip(langs, scores))):
+        spec = F.when(s == best, F.lit(lg)).otherwise(spec)
+    spec = F.when(best > 0, spec).otherwise(F.lit("und"))
+    out = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "the cat und der hund", "le la le la the", "", "999 000 111",
+            "el la le the und is est es"])],
+        ["i", "content"],
+    ).select(tx.language_id(F.col("content")).alias("got"), spec.alias("want")).collect()
+    for r in out:
+        assert r["got"] == r["want"], r
