@@ -242,7 +242,10 @@ def _q_embedding_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = cosine_topk(emb, queries, k=10)
+    # the query side is 5 vectors by construction: the collected-queries
+    # matmul path scores each Arrow batch with one BLAS product instead of
+    # per-element lambda evaluation (bounded collect, JVM fallback past 64)
+    out = cosine_topk(emb, queries, k=10, max_collected_queries=64)
     return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"), "rank")
 
 

@@ -122,6 +122,27 @@ def test_kmv_distinct_pre_pass_invariant(spark):
     assert a == b == c
 
 
+def test_cosine_topk_collected_path_matches_jvm_path(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16))
+    vecs[7] = 0.0  # zero-norm corpus vector: cosine defined as 0.0
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    from datasketches_spark.operators.ann import cosine_topk
+    jvm = cosine_topk(emb, queries, k=7).select(
+        "query_id", "vec_id", F.round("cosine", 9).alias("c"), "rank").collect()
+    mat = cosine_topk(emb, queries, k=7, max_collected_queries=64).select(
+        "query_id", "vec_id", F.round("cosine", 9).alias("c"), "rank").collect()
+    assert sorted(map(tuple, jvm)) == sorted(map(tuple, mat))
+    # past the cap the JVM path must be used (same results either way)
+    capped = cosine_topk(emb, queries, k=7, max_collected_queries=2).select(
+        "query_id", "vec_id", F.round("cosine", 9).alias("c"), "rank").collect()
+    assert sorted(map(tuple, jvm)) == sorted(map(tuple, capped))
+
+
 def test_language_id_matches_specification_form(spark, docs):
     """The optimized one-pass form vs the specification: per-language
     stopword counts over whitespace-split words, first maximal wins."""
