@@ -39,6 +39,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Conditional repartition for per-row-heavy projections: one modest
+    single-row-group parquet file scans as ONE task, serializing every
+    downstream regex/expression on one core. When (and only when) the
+    input arrives in fewer splits than 2x cores, spread it — the same
+    scale-adaptive pattern build_signatures uses; a no-op on inputs that
+    already carry enough splits (the 100 TB case), so the shuffle is never
+    added where it wouldn't pay (guide §2.5 'input skew: one huge
+    unsplittable file ... repartition immediately after the read')."""
+    min_parts = 2 * spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 # --------------------------------------------------------------- flagship
 
 
@@ -81,7 +96,7 @@ def _q_exact_dup_groups(spark, sf_dir):
 
 
 def _q_token_stats(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("n_words"),
@@ -101,7 +116,7 @@ def _q_quality(spark, sf_dir):
 
 
 def _q_lang_id(spark, sf_dir):
-    d = _read(spark, sf_dir, "documents")
+    d = _spread(spark, _read(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select("doc_id", tx.language_id(F.col("text")).alias("lang_pred"))
 
 
