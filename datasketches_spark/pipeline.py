@@ -22,6 +22,7 @@ pathological corpus of a billion copies of one file costs one signature.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,9 +63,23 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     if not light_stages:
         return _run_dedup_impl(spark, docs, cfg, checkpoint_dir, id_col,
                                collect_metrics, light_stages)
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # SESSION-CONF WINDOW INVARIANT (re-entrant): light mode mutates
+    # session-level conf (adaptive.enabled off + the two data-derived
+    # shuffle.partitions resizes inside _run_dedup_impl). Two concurrent
+    # light runs on one session would otherwise save each other's
+    # transient values as "prev" and restore garbage — the first run in
+    # wins the snapshot, the LAST run out restores it (depth-counted).
+    # Mid-run resizes remain benign cross-talk between concurrent runs
+    # (both performance-only and bounded by the session cap), never a
+    # correctness issue; pinned by test_round6.test_concurrent_light_runs.
+    with _LIGHT_CONF_LOCK:
+        if _LIGHT_CONF_STATE["depth"] == 0:
+            _LIGHT_CONF_STATE["prev"] = (
+                spark.conf.get("spark.sql.adaptive.enabled", "true"),
+                spark.conf.get("spark.sql.shuffle.partitions"),
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _LIGHT_CONF_STATE["depth"] += 1
     try:
         # every pipeline-internal action (stage writes, caches, CC rounds)
         # runs inside this window; the returned heavy tables are parquet
@@ -72,8 +87,16 @@ def run_dedup(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
         return _run_dedup_impl(spark, docs, cfg, checkpoint_dir, id_col,
                                collect_metrics, light_stages)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        with _LIGHT_CONF_LOCK:
+            _LIGHT_CONF_STATE["depth"] -= 1
+            if _LIGHT_CONF_STATE["depth"] == 0:
+                prev, prev_sp = _LIGHT_CONF_STATE["prev"]
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+_LIGHT_CONF_LOCK = threading.Lock()
+_LIGHT_CONF_STATE: dict = {"depth": 0, "prev": None}
 
 
 def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
@@ -366,6 +389,14 @@ def _run_dedup_impl(spark: SparkSession, docs: DataFrame, cfg: DedupConfig,
     # the stage's full fixed cost behind CC wall time. Span mode keeps the
     # serial order (span_pairs feeds dup_pairs); store-less mode has no
     # write jobs to overlap.
+    # ORDERING INVARIANT — no session-conf mutation may follow this point
+    # in the run: the concurrent dup_pairs write below plans against the
+    # session conf at submission time, and both static resizes (the
+    # signature floor and the membership-derived p_post above) happened
+    # strictly earlier. A future edit that moves a spark.conf.set below
+    # this submission races the background write's planning. (The light-
+    # mode restore in run_dedup's finally runs only after _finish_dedup —
+    # and thus this future — completes.)
     dup_fut = None
     if store.enabled and not cfg.span_pass:
         from concurrent.futures import ThreadPoolExecutor
